@@ -1,0 +1,125 @@
+"""Last-writer-wins reduction per key — the engine's core conflict rule.
+
+Reference analogue: the prioritized-pick pattern ``ROW_NUMBER() OVER
+(PARTITION BY biz_key ORDER BY priority) = 1`` used everywhere in the
+reference (etl/pypasar/db/sql/postgres/person/stg__person.sql:26-40,
+stg__visit_detail.sql:26-38, temp_drugmed_view.sql:16-20 — SURVEY.md W1/W2).
+
+We deliberately do NOT use a window for the hot path. A window needs a
+full sort of every key-group; an aggregate of ``max(struct(ts, lsn,
+payload...))`` (max_by semantics via struct ordering) gets map-side
+partial aggregation for free, so a conversation receiving 10^7 updates
+collapses to one row per map task before the shuffle — the reduce side
+sees at most (#map tasks) rows per key regardless of skew. That makes the
+aggregate formulation *inherently* hot-key-tolerant; the explicit salted
+two-phase variant below exists for the north-rule requirement and for
+workloads where the combiner is defeated (e.g. high-cardinality
+``(key, salt)`` pre-shuffle in sort-based fallback).
+
+Duplicate deliveries (same lsn twice from an at-least-once feed) need no
+separate pass: identical (ts, lsn, payload) tuples are idempotent under
+max().
+
+Tie-breaking: the comparator is the struct prefix ``(ts, lsn)``; lsn is
+globally unique, so ordering is total and the reduce is deterministic
+under any event permutation (property-tested in tests/test_lww.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_KEY = ["conv_id", "turn_idx"]
+DEFAULT_ORDER = ["ts", "lsn"]
+
+
+def _packed(order: list[str], payload: list[str]):
+    cols = [F.col(c).alias(f"_o_{i}") for i, c in enumerate(order)]
+    cols += [F.col(c).alias(f"_p_{c}") for c in payload]
+    return F.struct(*cols)
+
+
+def _unpack(df: DataFrame, key: list[str], order: list[str], payload: list[str]) -> DataFrame:
+    sel = [F.col(k) for k in key]
+    sel += [F.col(f"_w._o_{i}").alias(c) for i, c in enumerate(order)]
+    sel += [F.col(f"_w._p_{c}").alias(c) for c in payload]
+    return df.select(*sel)
+
+
+def lww_reduce(
+    events: DataFrame,
+    key: list[str] | None = None,
+    order: list[str] | None = None,
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """One row per key: the event with the max ``order`` tuple.
+
+    Single shuffle on ``key`` with map-side combine; no sort, no window.
+    """
+    key = key or DEFAULT_KEY
+    order = order or DEFAULT_ORDER
+    if payload is None:
+        payload = [c for c in events.columns if c not in set(key) | set(order)]
+    packed = events.groupBy(*key).agg(F.max(_packed(order, payload)).alias("_w"))
+    return _unpack(packed, key, order, payload)
+
+
+def lww_reduce_hash(
+    events: DataFrame,
+    key: list[str] | None = None,
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """HashAggregate-friendly LWW variant for (ts, lsn) ordering.
+
+    ``max(struct(...))`` has a struct aggregation buffer, which Spark plans
+    as SortAggregate (per-map-partition sort). This variant packs the
+    comparator into a single decimal(38,0) — ``unix_micros(ts) * 1e11 +
+    lsn`` (fixed-width, mutable buffer → HashAggregateExec, no sort) —
+    then joins winners back to fetch the payload. Two scans + an extra
+    shuffle in exchange for no sort; bench.py decides which wins at scale.
+    Requires lsn < 1e11 (true at the 10^10-event design point).
+    """
+    key = key or DEFAULT_KEY
+    cmp = (
+        F.unix_micros(F.col("ts")).cast("decimal(27,0)") * F.lit(100_000_000_000)
+        + F.col("lsn")
+    ).cast("decimal(38,0)")
+    ev = events.withColumn("_cmp", cmp)
+    best = ev.groupBy(*key).agg(F.max("_cmp").alias("_cmp"))
+    # (key, _cmp) is unique up to exact duplicate deliveries, which
+    # dropDuplicates on the join keys removes with no extra shuffle.
+    cols = payload or [c for c in events.columns if c not in key]
+    return (
+        ev.join(best, [*key, "_cmp"], "inner")
+        .dropDuplicates([*key, "_cmp"])
+        .select(*key, *cols)
+    )
+
+
+def salted_lww_reduce(
+    events: DataFrame,
+    n_salts: int = 16,
+    key: list[str] | None = None,
+    order: list[str] | None = None,
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """Two-phase salted LWW: reduce on (key, salt) first, then on key.
+
+    Salt derives from the order columns (not random) so the result stays
+    deterministic; because max() is associative+commutative, the split is
+    semantics-preserving. Reference analogue: the per-key suffix minting
+    of stg__visit_occurrence.sql:53-64 is identity-disambiguation, not
+    load-balancing — salting is the load-balancing version the engine adds
+    per the north rule.
+    """
+    key = key or DEFAULT_KEY
+    order = order or DEFAULT_ORDER
+    if payload is None:
+        payload = [c for c in events.columns if c not in set(key) | set(order)]
+    salted = events.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(n_salts)).cast("int")
+    )
+    phase1 = salted.groupBy(*key, "_salt").agg(F.max(_packed(order, payload)).alias("_w"))
+    phase2 = phase1.groupBy(*key).agg(F.max("_w").alias("_w"))
+    return _unpack(phase2, key, order, payload)

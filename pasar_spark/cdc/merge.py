@@ -1,0 +1,159 @@
+"""Bucket-pruned copy-on-write MERGE — the engine's upsert primitive.
+
+Semantics (the Iceberg statement this stands in for on a real cluster):
+
+    MERGE INTO transcripts t
+    USING (LWW-reduced chunk) s
+    ON  t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+    WHEN MATCHED AND (s.ts, s.lsn) > (t.ts, t.lsn) AND s.op = 'D' THEN DELETE
+    WHEN MATCHED AND (s.ts, s.lsn) > (t.ts, t.lsn)                THEN UPDATE SET *
+    WHEN NOT MATCHED AND s.op <> 'D'                              THEN INSERT *
+
+Replaces the reference's truncate-then-load (etl/pypasar/omop/person.py:
+24-33, measurement.py:91-95) with an incremental O(changes)+O(touched
+buckets) rewrite.
+
+Scale notes (100 TB / 1000 executors):
+- the source side is LWW-reduced FIRST (one row per touched key), so the
+  join's streamed side is bounded by distinct keys per chunk, not raw
+  event volume;
+- the target side is pruned to the buckets the chunk actually touches
+  (manifest file-list pruning — Iceberg partition pruning analogue);
+- both sides shuffle-hash-join on the natural key; AQE skew-join splits
+  any still-hot bucket. On real Iceberg, a storage-partitioned join
+  removes the target-side shuffle entirely — the bucket layout here is
+  chosen to make that swap possible;
+- metrics ride the write job via ``DataFrame.observe`` (no extra pass
+  over the data), the Spark-native version of the reference's per-table
+  stats (etl/__main__.py:77-98).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from pasar_spark.cdc.lww import lww_reduce
+from pasar_spark.functions.normalize import normalize_text, normalize_text_native
+from pasar_spark.lake.table import LakeTable
+
+ORDER = ["ts", "lsn"]
+
+
+def merge_batch(
+    table: LakeTable,
+    changes: DataFrame,
+    batch_id: str,
+    last_lsn: int | None = None,
+    normalizer: str = "arrow",  # 'arrow' | 'native' | 'none'
+) -> tuple[LakeTable, dict]:
+    """Apply one chunk of change events; returns (new table, metrics delta).
+
+    Idempotent: a batch_id already in the ledger is a no-op (exactly-once
+    under replay/crash-retry).
+    """
+    if table.has_batch(batch_id):
+        return table, {"skipped_batches": 1}
+
+    key = table.manifest["key"]
+    schema_cols = table.schema.names()
+    payload = [c for c in schema_cols if c not in set(key) | set(ORDER) | {"_tombstone"}]
+
+    obs_src = Observation(f"src-{batch_id}")
+    changes = changes.observe(
+        obs_src, F.count(F.lit(1)).alias("events_seen"), F.max("lsn").alias("max_lsn")
+    )
+
+    reduced = lww_reduce(changes, key=key, order=ORDER, payload=payload + ["op"])
+    if normalizer == "arrow":
+        reduced = reduced.withColumn("text", normalize_text(F.col("text")))
+    elif normalizer == "native":
+        reduced = reduced.withColumn("text", normalize_text_native(F.col("text")))
+    reduced = reduced.withColumn("_bucket", table.bucket_expr()).persist()
+
+    try:
+        affected = sorted(
+            r["_bucket"] for r in reduced.select("_bucket").distinct().collect()
+        )
+        src_stats = obs_src.get
+
+        base = table.read(buckets=affected, include_tombstones=True)
+        change_side = reduced.select(
+            *[F.col(k).alias(f"_ck_{k}") for k in key],
+            *[F.col(c).alias(f"_c_{c}") for c in ORDER + payload + ["op", "_bucket"]],
+        )
+        cond = None
+        for k in key:
+            c = base[k] == change_side[f"_ck_{k}"]
+            cond = c if cond is None else (cond & c)
+        joined = base.join(change_side, cond, "full_outer")
+
+        base_exists = F.col("lsn").isNotNull()
+        base_live = base_exists & ~F.coalesce(F.col("_tombstone"), F.lit(False))
+        change_exists = F.col("_c_lsn").isNotNull()
+        newer = F.struct(F.col("_c_ts"), F.col("_c_lsn")) > F.struct(F.col("ts"), F.col("lsn"))
+        take_change = change_exists & (~base_exists | newer)
+        is_delete = F.col("_c_op") == "D"
+        # Deletes are persisted as TOMBSTONES (row kept, payload nulled,
+        # _tombstone=true) so an out-of-order staler event in a later chunk
+        # can never resurrect the key. Tombstone GC past the out-of-order
+        # horizon is a vacuum concern, not a merge concern.
+        decision = (
+            F.when(take_change & ~is_delete, F.lit("apply"))
+            .when(take_change & is_delete & base_live, F.lit("delete"))
+            .when(take_change & is_delete & ~base_live, F.lit("noop_delete"))
+            .when(change_exists & ~take_change, F.lit("stale"))
+            .otherwise(F.lit("keep"))
+        )
+
+        taken = F.col("_dec").isin("apply", "delete", "noop_delete")
+        out_cols = []
+        for k in key:
+            out_cols.append(F.coalesce(F.col(k), F.col(f"_ck_{k}")).alias(k))
+        for c in ORDER:
+            out_cols.append(F.when(taken, F.col(f"_c_{c}")).otherwise(F.col(c)).alias(c))
+        for c in payload:
+            out_cols.append(
+                F.when(F.col("_dec") == "apply", F.col(f"_c_{c}"))
+                .when(taken, F.lit(None))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        out_cols.append(
+            F.when(F.col("_dec").isin("delete", "noop_delete"), F.lit(True))
+            .when(F.col("_dec") == "apply", F.lit(False))
+            .otherwise(F.coalesce(F.col("_tombstone"), F.lit(False)))
+            .alias("_tombstone")
+        )
+        merged = joined.withColumn("_dec", decision).select(*out_cols, F.col("_dec"))
+
+        obs_merge = Observation(f"merge-{batch_id}")
+        merged = merged.observe(
+            obs_merge,
+            F.sum((F.col("_dec") == "apply").cast("long")).alias("applied"),
+            F.sum((F.col("_dec") == "delete").cast("long")).alias("deleted"),
+            F.sum((F.col("_dec") == "stale").cast("long")).alias("skipped_stale"),
+        )
+        final = merged.drop("_dec").withColumn("_bucket", table.bucket_expr())
+
+        commit_id = table.new_commit_id()
+        new_files = table.write_files(final, commit_id)
+        m = obs_merge.get if affected else {"applied": 0, "deleted": 0, "skipped_stale": 0}
+        delta = {
+            "applied": int(m["applied"] or 0),
+            "deleted": int(m["deleted"] or 0),
+            "skipped_stale": int(m["skipped_stale"] or 0),
+            "events_seen": int(src_stats["events_seen"] or 0),
+        }
+        if last_lsn is None:
+            last_lsn = int(src_stats["max_lsn"]) if src_stats["max_lsn"] is not None else None
+        table = table.commit_merge(
+            replaced_buckets=affected,
+            new_files=new_files,
+            batch_id=batch_id,
+            last_lsn=last_lsn,
+            metrics_delta=delta,
+        )
+        return table, delta
+    finally:
+        reduced.unpersist()

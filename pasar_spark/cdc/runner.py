@@ -1,0 +1,124 @@
+"""Chunked, checkpointed, resumable replay driver.
+
+Replaces the reference's LIMIT/OFFSET pagination loop
+(etl/pypasar/omop/measurement.py:124-145 — O(n^2) re-scans, driver-carried
+id counter) with LSN-range chunking:
+
+- chunk = ``WHERE lsn >= lo AND lsn < hi`` — a pure predicate, pushed into
+  the parquet scan (the WAL is written range-partitioned by lsn, so footer
+  min/max stats prune whole files; at 10^10 events a chunk touches only
+  its own files);
+- batch_id = ``lsn-<lo>-<hi>`` is a deterministic function of the range →
+  a crash-and-rerun re-derives the same id and the ledger (committed
+  atomically WITH the data, lake/table.py) makes re-application a no-op:
+  exactly-once without coordination;
+- resume = start from ``table.last_lsn + 1``; nothing else to restore;
+- fetch cap (``max_events``) mirrors the reference's
+  OMOP_MEASUREMENT_..._FETCH_LIMIT sampling knob (measurement.py:154-158).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pasar_spark.cdc.merge import merge_batch
+from pasar_spark.cdc.schema_evolution import EvolutionPlan, max_schema_ver, promote_extra
+from pasar_spark.lake.table import LakeTable
+
+# The transcript target schema (BASELINE.json input_hint) + the LWW
+# comparator column ``lsn`` carried for cross-batch conflict resolution.
+BASE_COLUMNS: list[tuple[str, str]] = [
+    ("conv_id", "string"),
+    ("turn_idx", "int"),
+    ("role", "string"),
+    ("text", "string"),
+    ("tool", "string"),
+    ("ts", "timestamp"),
+    ("lsn", "bigint"),
+    # delete tombstone flag — hidden on read, load-bearing for merge
+    # correctness under out-of-order arrivals (see cdc/merge.py)
+    ("_tombstone", "boolean"),
+]
+KEY = ["conv_id", "turn_idx"]
+
+
+class ReplayRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        n_buckets: int = 16,
+        chunk_size: int = 1_000_000,
+        evolution_plan: EvolutionPlan | None = None,
+        normalizer: str = "arrow",
+    ):
+        self.spark = spark
+        self.table_path = table_path
+        self.n_buckets = n_buckets
+        self.chunk_size = chunk_size
+        self.evolution_plan = evolution_plan or EvolutionPlan()
+        self.normalizer = normalizer
+
+    # ------------------------------------------------------------------
+    def bootstrap(self) -> LakeTable:
+        if LakeTable.exists(self.table_path):
+            return LakeTable.load(self.spark, self.table_path)
+        return LakeTable.create(
+            self.spark,
+            self.table_path,
+            columns=BASE_COLUMNS,
+            key=KEY,
+            n_buckets=self.n_buckets,
+            bucket_by="conv_id",
+        )
+
+    # ------------------------------------------------------------------
+    def replay(
+        self,
+        events: DataFrame | str,
+        max_events: int | None = None,
+        stop_after_chunks: int | None = None,
+    ) -> LakeTable:
+        """Apply the change feed from the current checkpoint to its end.
+
+        ``stop_after_chunks`` exists for crash/resume testing: it aborts
+        the loop mid-stream exactly as a killed driver would.
+        """
+        src = (
+            self.spark.read.parquet(events) if isinstance(events, str) else events
+        )
+        if max_events is not None:
+            src = src.where(F.col("lsn") < max_events)
+
+        hi_row = src.agg(F.max("lsn").alias("m")).collect()[0]
+        if hi_row["m"] is None:
+            return self.bootstrap()
+        hi = int(hi_row["m"])
+
+        table = self.bootstrap()
+        lo = table.last_lsn + 1
+        chunks_done = 0
+        while lo <= hi:
+            chunk_hi = min(lo + self.chunk_size - 1, hi)
+            batch_id = f"lsn-{lo}-{chunk_hi}"
+            chunk = src.where((F.col("lsn") >= lo) & (F.col("lsn") <= chunk_hi))
+
+            if not table.has_batch(batch_id):
+                if self.evolution_plan.steps:
+                    ver = max_schema_ver(chunk)
+                    if ver > table.manifest["ledger"].get("feed_schema_ver", 0):
+                        table = self.evolution_plan.apply_up_to(table, ver)
+                chunk = promote_extra(chunk, table)
+                table, _ = merge_batch(
+                    table,
+                    chunk,
+                    batch_id,
+                    last_lsn=chunk_hi,
+                    normalizer=self.normalizer,
+                )
+            lo = chunk_hi + 1
+            chunks_done += 1
+            if stop_after_chunks is not None and chunks_done >= stop_after_chunks:
+                break
+        return table

@@ -1,0 +1,76 @@
+"""LWW reduce: unit + permutation/duplication properties."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pasar_spark.cdc.lww import lww_reduce, salted_lww_reduce
+
+SCHEMA = "lsn bigint, op string, conv_id string, turn_idx int, text string, ts timestamp"
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+ROWS = [
+    # key (a,0): lsn 1 has LATER ts than lsn 2 → ts wins (out-of-order case)
+    (1, "I", "a", 0, "v1", _ts("2025-01-01 00:10:00")),
+    (2, "U", "a", 0, "v2", _ts("2025-01-01 00:05:00")),
+    # key (a,1): same ts → lsn breaks the tie
+    (3, "I", "a", 1, "w1", _ts("2025-01-01 00:00:00")),
+    (4, "U", "a", 1, "w2", _ts("2025-01-01 00:00:00")),
+    # key (b,0): delete wins
+    (5, "I", "b", 0, "x1", _ts("2025-01-01 00:00:00")),
+    (6, "D", "b", 0, None, _ts("2025-01-01 00:20:00")),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _winners(df):
+    out = lww_reduce(df, key=["conv_id", "turn_idx"], order=["ts", "lsn"])
+    return {(r.conv_id, r.turn_idx): (r.lsn, r.op, r.text) for r in out.collect()}
+
+
+def test_lww_picks_max_ts_then_lsn(spark):
+    w = _winners(_df(spark, ROWS))
+    assert w[("a", 0)] == (1, "I", "v1")  # later ts beats later lsn
+    assert w[("a", 1)] == (4, "U", "w2")  # ts tie → max lsn
+    assert w[("b", 0)][1] == "D"
+
+
+def test_lww_permutation_invariant(spark):
+    base = _winners(_df(spark, ROWS))
+    shuffled = _winners(_df(spark, list(reversed(ROWS))))
+    assert base == shuffled
+
+
+def test_lww_duplicate_delivery_idempotent(spark):
+    dup = _winners(_df(spark, ROWS + ROWS))  # at-least-once feed
+    assert dup == _winners(_df(spark, ROWS))
+
+
+def test_salted_equals_unsalted(spark):
+    df = _df(spark, ROWS + ROWS)
+    a = _winners(df)
+    out = salted_lww_reduce(df, n_salts=8, key=["conv_id", "turn_idx"], order=["ts", "lsn"])
+    b = {(r.conv_id, r.turn_idx): (r.lsn, r.op, r.text) for r in out.collect()}
+    assert a == b
+
+
+def test_lww_plan_has_mapside_combine_single_shuffle(spark):
+    """The hot-path reduce must be a two-phase aggregate (partial_max
+    map-side, final after ONE shuffle) — that's the skew story: a hot key
+    collapses to one row per map task before it ever crosses the wire.
+    A window/row_number formulation would shuffle ALL events of a key to
+    one task; assert we never regress to that."""
+    df = _df(spark, ROWS)
+    plan = lww_reduce(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
