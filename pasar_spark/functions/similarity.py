@@ -1,0 +1,211 @@
+"""Embedding similarity search + near-duplicate detection at scale.
+
+Baseline: brute-force cosine top-k via built-in higher-order functions
+(``zip_with`` dot product — JVM-side, codegen'd). Scale path: LSH
+bucketing (random-hyperplane signs for cosine) so candidate generation is
+a bucket-equi-join instead of a cross join — at 10^9 vectors the cross
+join is off the table; the LSH join shuffles each side once on the
+bucket key.
+
+MinHash-LSH for set (shingle) similarity follows the classic
+band/bucket construction: signature of H hashes split into B bands of R
+rows; docs sharing any full band land in a candidate bucket; verified
+pairs by exact Jaccard over shingle sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pasar_spark.functions.text import minhash_signature, shingles
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Shape: broadcast the (small) query side against the corpus, compute
+    cosine JVM-side, rank per query. Columns: vec_id, rank, neighbor_id,
+    cos_sim. Excludes self-matches.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    pairs = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .drop("_qv", "_cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 12, seed: int = 7, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id for cosine similarity.
+
+    Deterministic pseudo-hyperplanes: plane p weight for dimension d is
+    a centered xxhash64 of (p, d, seed) — constant-folded per plane, so
+    the whole bucket id is one codegen'd expression, no UDF, no stored
+    model. sign bits pack into an int bucket.
+    """
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        # deterministic +/- weights per dimension
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[
+                    F.when(
+                        F.xxhash64(F.lit(p), F.lit(d), F.lit(seed)) % 2 == 0, F.lit(1.0)
+                    ).otherwise(F.lit(-1.0))
+                    for d in range(dim)
+                ]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    k: int = 3,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the same hyperplane
+    bucket, then exact cosine rank within candidates. The bucket join is
+    an equi-join (one shuffle per side) — the 10^9-vector scale path."""
+    from pyspark.sql import Window
+
+    b = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim=dim).alias("_bkt"),
+    )
+    other = b.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("_v").alias("_w"), F.col("_bkt")
+    )
+    pairs = (
+        b.join(other, ["_bkt"])
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("_v"), F.col("_w")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold (embedding near-dup)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs with exact-Jaccard
+    verification. Returns (id_a, id_b, jaccard). Candidate generation is
+    a band-bucket equi-join; verification re-joins shingle sets only for
+    candidates (the 100 TB-safe shape: no all-pairs stage anywhere)."""
+    rows = n_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("_sig"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    banded = sig.select(
+        "doc_id",
+        "_sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", *[
+                            F.element_at("_sig", i * rows + r + 1).cast("string")
+                            for r in range(rows)
+                        ])
+                    ).alias("bucket"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("_b"),
+    ).select("doc_id", "_sh", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"))
+
+    left = banded.select("band", "bucket", F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    right = banded.select("band", "bucket", F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,562 @@
+"""Named query registry — the correctness surface of the engine.
+
+Every entry pairs an idiomatic-PySpark implementation with an ANSI-SQL
+oracle that DuckDB executes on the same parquet tables (driver contract in
+__spark_entry__.py). Names cover the SURVEY.md §2 operator inventory plus
+the training-data-pipeline operators (dedup, similarity, text analysis).
+
+Determinism rules applied throughout (both sides!):
+- every computed column is aliased identically;
+- float aggregates are ROUNDed (sum/avg reassociation differs between
+  engines at the last ulp);
+- integer sums are cast to BIGINT (DuckDB promotes to HUGEINT);
+- top-k orderings sort on the rounded value + a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pasar_spark.cdc.lww import lww_reduce
+from pasar_spark.operators.eras import merge_eras, session_stats
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+# =====================================================================
+# CDC family — the events table treated as a simulated change feed
+# =====================================================================
+
+# Deterministic event->change-event mapping, used identically in Spark
+# and in the oracle SQL: conv_id from user, turn from event id, deletes
+# from the 'error' type, lsn = event_id (monotone), payload = props.
+def _as_change_feed(ev: DataFrame) -> DataFrame:
+    return ev.select(
+        F.format_string("conv-%05d", F.col("user_id")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(16)).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("props").alias("text"),
+        F.col("ts"),
+        F.col("event_id").alias("lsn"),
+    )
+
+
+_FEED_SQL = """
+  SELECT printf('conv-%05d', user_id) AS conv_id,
+         CAST(event_id % 16 AS INT) AS turn_idx,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         props AS text, ts, event_id AS lsn
+  FROM events
+"""
+
+
+@register(
+    "cdc_final_state",
+    f"""
+    WITH feed AS ({_FEED_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM feed)
+    SELECT conv_id, turn_idx, text, ts, lsn
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: replay the feed through the engine's LWW reduce; final
+    live state per (conv_id, turn_idx) — SURVEY.md W1/W2 + north rule."""
+    feed = _as_change_feed(load(spark, sf_dir, "events"))
+    won = lww_reduce(feed, key=["conv_id", "turn_idx"], order=["ts", "lsn"])
+    return won.where(F.col("op") != "D").select("conv_id", "turn_idx", "text", "ts", "lsn")
+
+
+@register(
+    "cdc_lww_latest",
+    """
+    SELECT user_id, event_type, ts, lsn, value FROM (
+      SELECT user_id, event_type, ts, event_id AS lsn, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t WHERE rn = 1
+    """,
+)
+def cdc_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LWW winner per (user_id, event_type) via the aggregate reduce."""
+    ev = load(spark, sf_dir, "events").withColumnRenamed("event_id", "lsn")
+    return lww_reduce(
+        ev, key=["user_id", "event_type"], order=["ts", "lsn"], payload=["value"]
+    ).select("user_id", "event_type", "ts", "lsn", "value")
+
+
+@register(
+    "cdc_op_mix",
+    f"""
+    WITH feed AS ({_FEED_SQL})
+    SELECT op, count(*) AS n_events,
+           count(DISTINCT conv_id || '#' || CAST(turn_idx AS VARCHAR)) AS n_keys
+    FROM feed GROUP BY op
+    """,
+)
+def cdc_op_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = _as_change_feed(load(spark, sf_dir, "events"))
+    return feed.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(
+            F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string"))
+        ).alias("n_keys"),
+    )
+
+
+@register(
+    "cdc_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_max IS NULL
+                       OR epoch(ts) > epoch(prev_max) + 1800 THEN 1 ELSE 0 END AS ni
+      FROM (SELECT user_id, ts,
+                   max(ts) OVER (PARTITION BY user_id ORDER BY ts, ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+            FROM events) t),
+    isl AS (SELECT user_id,
+                   sum(ni) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS island
+            FROM flagged)
+    SELECT user_id, count(DISTINCT island) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM isl GROUP BY user_id
+    """,
+)
+def cdc_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap islands per user (SURVEY.md §2.6)."""
+    ev = load(spark, sf_dir, "events")
+    out = session_stats(ev, ["user_id"], "ts", gap_seconds=1800)
+    return out.select("user_id", F.col("n_sessions").cast("long").alias("n_sessions"), "n_events")
+
+
+@register(
+    "cdc_eras",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_max IS NULL
+                       OR epoch(ts) > epoch(prev_max) + 1800 THEN 1 ELSE 0 END AS ni
+      FROM (SELECT user_id, ts,
+                   max(ts) OVER (PARTITION BY user_id ORDER BY ts, ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+            FROM events) t),
+    isl AS (SELECT user_id, ts,
+                   sum(ni) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS island
+            FROM flagged)
+    SELECT user_id, min(ts) AS era_start, max(ts) AS era_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def cdc_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full era/interval merge — the reference's condition_era/drug_era
+    computation (condition_era.sql:1-112) as two windows + a groupBy."""
+    ev = load(spark, sf_dir, "events")
+    return merge_eras(ev, ["user_id"], "ts", gap_seconds=1800).select(
+        "user_id", "era_start", "era_end", "n_events"
+    )
+
+
+@register(
+    "cdc_out_of_order",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND ts < prev THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ooo
+    FROM (SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+          FROM events) t
+    GROUP BY user_id
+    """,
+)
+def cdc_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time vs LSN-order disagreement per key — the engine's
+    out-of-order diagnostics (why LWW is on (ts, lsn), not lsn alone)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("prev").isNotNull() & (F.col("ts") < F.col("prev"))).cast("long")
+            ).alias("n_ooo"),
+        )
+    )
+
+
+@register(
+    "cdc_mode_event_type",
+    """
+    SELECT user_id, event_type AS top_event_type FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type) t
+    WHERE rn = 1
+    """,
+)
+def cdc_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per key — reference A5/W6 pattern
+    (stg__provider.sql:15-65)."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").count()
+    w = Window.partitionBy("user_id").orderBy(F.desc("count"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", F.col("event_type").alias("top_event_type"))
+    )
+
+
+@register(
+    "cdc_props_json",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def cdc_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON envelope extraction (the CDC 'extra' column path) — pure
+    Catalyst get_json_object, no Python."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.max(k).alias("max_k")
+    )
+
+
+# =====================================================================
+# Relational operator coverage (TPC-H-ish tables)
+# =====================================================================
+
+
+@register(
+    "q1_lineitem_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q3_revenue_topk",
+    """
+    SELECT o_orderkey, o_orderdate,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + top-k; the customer dim side is broadcast."""
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_orderdate", "revenue")
+    )
+
+
+@register(
+    "q_region_revenue",
+    """
+    SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup with broadcast dimension chain (J2/J6)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q_anti_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (reference emulates with LEFT JOIN ... IS NULL,
+    stg__provider.sql:75-85 — Spark has it natively)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q_semi_customers_open",
+    """
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def q_semi_customers_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where("o_orderstatus = 'O'")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@register(
+    "q_first_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) t WHERE rn = 1
+    """,
+)
+def q_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup pick-first window — the reference's W1 primitive."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+@register(
+    "q_price_buckets",
+    """
+    SELECT CASE WHEN o_totalprice < 10000 THEN 'low'
+                WHEN o_totalprice < 100000 THEN 'mid'
+                ELSE 'high' END AS price_bucket,
+           count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE projection + agg (reference P4/P5)."""
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 10000, "low")
+        .when(F.col("o_totalprice") < 100000, "mid")
+        .otherwise("high")
+    )
+    return o.groupBy(bucket.alias("price_bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price")
+    )
+
+
+@register(
+    "q_customer_spans",
+    """
+    SELECT o_custkey, min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_customer_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span aggregation (reference A3, stg__observation_period.sql)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q_union_activity",
+    """
+    WITH activity AS (
+      SELECT o_custkey AS id, o_orderdate AS ts FROM orders
+      UNION ALL
+      SELECT user_id AS id, ts FROM events)
+    SELECT id, min(ts) AS first_seen, max(ts) AS last_seen, count(*) AS n
+    FROM activity GROUP BY id
+    """,
+)
+def q_union_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source UNION ALL + span agg (reference U1 + A3)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("id"), F.col("o_orderdate").alias("ts")
+    )
+    e = load(spark, sf_dir, "events").select(F.col("user_id").alias("id"), F.col("ts"))
+    return (
+        o.unionByName(e)
+        .groupBy("id")
+        .agg(
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q_expr_join",
+    """
+    SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_events
+    FROM customer JOIN events ON c_custkey = (user_id % 100) + 1
+    GROUP BY c_custkey
+    """,
+)
+def q_expr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed-key join — the reference's key reverse-engineering
+    pattern (J4, measurement.py:184-203), as a join-on-expression."""
+    c = load(spark, sf_dir, "customer")
+    e = load(spark, sf_dir, "events")
+    return (
+        c.join(e, c.c_custkey == (e.user_id % 100) + 1)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "q_unpivot_eav",
+    """
+    WITH eav AS (
+      SELECT 'quantity' AS metric, l_quantity AS value FROM lineitem
+      UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem)
+    SELECT metric, count(*) AS n, round(sum(value), 2) AS total
+    FROM eav GROUP BY metric
+    """,
+)
+def q_unpivot_eav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->EAV unpivot via stack() — the reference's pandas explode
+    loop (measurement.py:293-311, SURVEY.md §2.11) without Python."""
+    li = load(spark, sf_dir, "lineitem")
+    eav = li.selectExpr(
+        "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+        " 'discount', l_discount, 'tax', l_tax) AS (metric, value)"
+    )
+    return eav.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+@register(
+    "q_global_seq",
+    """
+    SELECT seq, o_orderkey FROM (
+      SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS seq, o_orderkey
+      FROM orders) t WHERE seq <= 10
+    """,
+)
+def q_global_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sequence assignment (reference W3) — demonstrated but
+    bounded: the engine avoids global row_number in hot paths (single-
+    partition hazard); here it's a top-10 slice."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("seq", F.row_number().over(w))
+        .where("seq <= 10")
+        .select("seq", "o_orderkey")
+    )
+
+
+@register(
+    "q_mode_brand",
+    """
+    SELECT p_type, p_brand AS top_brand FROM (
+      SELECT p_type, p_brand,
+             row_number() OVER (PARTITION BY p_type ORDER BY count(*) DESC, p_brand) AS rn
+      FROM part GROUP BY p_type, p_brand) t WHERE rn = 1
+    """,
+)
+def q_mode_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    counts = p.groupBy("p_type", "p_brand").count()
+    w = Window.partitionBy("p_type").orderBy(F.desc("count"), F.asc("p_brand"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("p_type", F.col("p_brand").alias("top_brand"))
+    )

@@ -1,0 +1,309 @@
+"""Document / embedding queries — training-data-pipeline operators.
+
+Registered into the same registry as pasar_spark.queries. Near-dup
+queries use the self-copy trick for oracle-able determinism: union the
+corpus with itself under shifted ids, so every original/copy pair is an
+exact duplicate the pipeline MUST find (jaccard == 1.0), while the random
+word-soup cross-pairs stay far below threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pasar_spark.functions import text as T
+from pasar_spark.functions.similarity import (
+    brute_force_topk,
+    cosine,
+    lsh_topk,
+    minhash_lsh_pairs,
+)
+from pasar_spark.queries import load, register
+
+_STOP_EN = "'the','and','of','to','a','in','is','it','for','on'"
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           round(CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE)
+                 / len({_TOKS}), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + char stats, all JVM-side (SURVEY.md §2.9)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.char_count(F.col("text")).alias("n_chars"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.round(T.avg_token_len(F.col("text")), 4).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           round(0.5 * least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0)
+               + 0.5 * (CAST(len(list_filter(list_transform({_TOKS}, x -> lower(x)),
+                                             x -> x IN ({_STOP_EN}))) AS DOUBLE)
+                        / greatest(len({_TOKS}), 1)), 4) AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length saturation + stopword ratio)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+def _ratio_sql(words: list[str]) -> str:
+    lst = ",".join(f"'{w}'" for w in words)
+    return (
+        f"(CAST(len(list_filter(list_transform({_TOKS}, x -> lower(x)),"
+        f" x -> x IN ({lst}))) AS DOUBLE) / greatest(len({_TOKS}), 1))"
+    )
+
+
+_LANG_PRED_SQL = f"""
+  CASE WHEN greatest(r_en, r_de, r_es, r_fr) = 0 THEN 'und'
+       WHEN r_en >= r_de AND r_en >= r_es AND r_en >= r_fr THEN 'en'
+       WHEN r_de >= r_es AND r_de >= r_fr THEN 'de'
+       WHEN r_es >= r_fr THEN 'es'
+       ELSE 'fr' END
+"""
+
+
+@register(
+    "lang_id_eval",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             {_ratio_sql(T.STOPWORDS['en'])} AS r_en,
+             {_ratio_sql(T.STOPWORDS['de'])} AS r_de,
+             {_ratio_sql(T.STOPWORDS['es'])} AS r_es,
+             {_ratio_sql(T.STOPWORDS['fr'])} AS r_fr
+      FROM documents)
+    SELECT lang, {_LANG_PRED_SQL} AS pred_lang, count(*) AS n_docs
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language ID confusion matrix vs the labeled lang."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "doc_fingerprint_stats",
+    """
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_unique
+    FROM documents GROUP BY source
+    """,
+)
+def doc_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup detection by normalized-text fingerprint, per source."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(T.fingerprint(F.col("text"))).alias("n_unique"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Near-dup detection with injected exact copies (doc_id + 1_000_000)
+# ---------------------------------------------------------------------
+
+
+def _with_copies(d: DataFrame) -> DataFrame:
+    return d.select("doc_id", "text").unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+
+
+_COPIES_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+"""
+
+# Bigram shingle sets: word-soup cross-pairs have jaccard << 0.9, so at
+# threshold 0.9 the ONLY pairs are original<->copy — a closed-form oracle.
+_BIGRAMS = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),"
+    " i -> toks[i] || ' ' || toks[i + 1]))"
+)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH c AS ({_COPIES_SQL}),
+    sh AS (SELECT doc_id, {_BIGRAMS} AS sh
+           FROM (SELECT doc_id, {_TOKS} AS toks FROM c) t)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (bigram) Jaccard near-dup pairs at threshold 0.9.
+
+    NOTE: the all-pairs formulation here is the small-scale oracle twin;
+    the scale path is dedup_minhash_lsh below (candidate generation via
+    band-bucket equi-join, no cross join anywhere)."""
+    c = _with_copies(load(spark, sf_dir, "documents"))
+    sh = c.select(
+        "doc_id", F.array_distinct(T.shingles(F.col("text"), 2)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    union = F.size(F.array_union("sha", "shb")).cast("double")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jacc_raw", inter / union)
+        .where(F.col("jacc_raw") >= 0.9)
+        .select("id_a", "id_b", F.round("jacc_raw", 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH c AS ({_COPIES_SQL}),
+    sh AS (SELECT doc_id, {_BIGRAMS} AS sh
+           FROM (SELECT doc_id, {_TOKS} AS toks FROM c) t)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.95
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified by exact Jaccard >= 0.95.
+
+    Verification threshold is 0.95 (not 0.9) because LSH recall at the
+    band boundary is probabilistic: a j=0.9 pair slips past 8 bands x 4
+    rows with p~2e-4, and the corpus contains such pairs — at >=0.95 the
+    only qualifying pairs are exact copies (j=1.0), whose signatures are
+    identical and therefore ALWAYS collide, making the oracle exact."""
+    c = _with_copies(load(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(
+        c, n_hashes=32, bands=8, shingle_n=2, jaccard_threshold=0.95
+    ).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return "(" + " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+    ) + ")"
+
+
+def _norm_sql(a: str, dim: int = 64) -> str:
+    return (
+        "sqrt(" + " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)"
+            for i in range(1, dim + 1)
+        ) + ")"
+    )
+
+
+@register(
+    "knn_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    pairs AS (
+      SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+             {_dot_sql('q.embedding', 'c.embedding')}
+               / ({_norm_sql('q.embedding')} * {_norm_sql('c.embedding')}) AS sim
+      FROM q JOIN embeddings c ON q.vec_id <> c.vec_id)
+    SELECT vec_id, rank, neighbor_id, round(sim, 6) AS cos_sim FROM (
+      SELECT vec_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM pairs) t
+    WHERE rank <= 3
+    """,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline): left-fold dot
+    product via zip_with/aggregate — identical IEEE evaluation order to
+    the oracle's explicit 64-term sum."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 20")
+    return brute_force_topk(q, emb, k=3)
+
+
+@register(
+    "emb_label_cohesion",
+    f"""
+    SELECT a.label, count(*) AS n_pairs,
+           round(avg({_dot_sql('a.embedding', 'b.embedding')}
+                 / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')})), 4) AS avg_cos
+    FROM (SELECT * FROM embeddings WHERE vec_id < 300) a
+    JOIN (SELECT * FROM embeddings WHERE vec_id < 300) b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY a.label
+    """,
+)
+def emb_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-label average cosine — embedding-space clustering sanity."""
+    emb = load(spark, sf_dir, "embeddings").where("vec_id < 300")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("label"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("label").alias("lb"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("ia") < F.col("ib")))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(cosine(F.col("va"), F.col("vb"))), 4).alias("avg_cos"),
+        )
+    )
+
+
+# Spark-only (rows-only driver check): the approximate scale paths whose
+# outputs are approximation-dependent and not meaningfully SQL-expressible.
+
+
+@register("knn_lsh_topk", None)
+def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (the 10^9-vector scale path)."""
+    emb = load(spark, sf_dir, "embeddings").where("vec_id < 200")
+    return lsh_topk(emb, k=3, n_planes=6)
+
+
+@register("dedup_simhash", None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (hamming <= 6) over injected copies."""
+    c = _with_copies(load(spark, sf_dir, "documents")).where("doc_id < 200 or doc_id between 1000000 and 1000200")
+    sig = c.select("doc_id", T.simhash(F.col("text")).alias("sig"))
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", T.hamming64(F.col("sa"), F.col("sb")))
+        .where("hamming <= 6")
+        .select("id_a", "id_b", "hamming")
+    )
