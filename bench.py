@@ -1,0 +1,134 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Two parts:
+1. headline: CDC replay throughput — generate a deterministic synthetic
+   change log (FIXTURES.md bench tier) and replay it end-to-end through
+   the engine (LWW reduce -> bucket-pruned MERGE -> snapshot commits),
+   reporting change-events/sec applied (the BASELINE.json metric);
+2. per-query wall times for the registry queries at $SPARK_GRAFT_SF_DIR.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  PASAR_BENCH_EVENTS   change-log size (default 8,000,000)
+  PASAR_BENCH_SKIP_REPLAY=1  skip part 1 (used by scaling harness)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pasar_spark.session import get_spark  # noqa: E402
+
+# All-pairs oracle twins are excluded (they exist for small-scale
+# correctness, not for scale — their LSH counterparts are benched).
+BENCH_QUERIES = [
+    "cdc_final_state",
+    "cdc_lww_latest",
+    "cdc_sessions",
+    "cdc_eras",
+    "cdc_out_of_order",
+    "cdc_mode_event_type",
+    "q1_lineitem_agg",
+    "q3_revenue_topk",
+    "q_region_revenue",
+    "q_first_order_per_customer",
+    "q_union_activity",
+    "q_unpivot_eav",
+    "text_stats",
+    "text_quality",
+    "lang_id_eval",
+    "doc_fingerprint_stats",
+    "dedup_minhash_lsh",
+    "knn_cosine_topk",
+    "knn_lsh_topk",
+]
+
+
+def run_replay_bench(spark, n_events: int, chunk_size: int, n_buckets: int) -> dict:
+    from pasar_spark.cdc.runner import ReplayRunner
+    from pasar_spark.datagen import change_events, write_change_log
+
+    root = tempfile.mkdtemp(prefix="pasar_bench_")
+    try:
+        wal = f"{root}/wal"
+        write_change_log(
+            change_events(spark, n_events, n_convs=max(10_000, n_events // 100), seed=42),
+            wal,
+            n_files=128,
+        )
+        t0 = time.time()
+        runner = ReplayRunner(
+            spark, f"{root}/tbl", n_buckets=n_buckets, chunk_size=chunk_size
+        )
+        table = runner.replay(wal)
+        elapsed = time.time() - t0
+        m = table.metrics
+        return {
+            "events": n_events,
+            "wall_sec": round(elapsed, 2),
+            "events_per_sec": round(n_events / elapsed),
+            "applied": m["applied"],
+            "deleted": m["deleted"],
+            "final_rows": None,  # filled by caller if wanted
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("PASAR_BENCH_EVENTS", "8000000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark(
+        "pasar-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 8),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    total_t0 = time.time()
+    replay = None
+    if os.environ.get("PASAR_BENCH_SKIP_REPLAY") != "1":
+        replay = run_replay_bench(
+            spark, n_events, chunk_size=max(n_events // 4, 1_000_000), n_buckets=64
+        )
+
+    import pasar_spark.queries as q
+    import pasar_spark.queries_docs  # noqa: F401
+
+    registry = q.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        _ = n
+
+    out = {
+        "metric": "cdc replay events/sec + query wall times",
+        "value": round(time.time() - total_t0, 2),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "replay": replay,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

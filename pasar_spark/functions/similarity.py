@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pasar_spark.functions.text import minhash_signature, shingles
+from pasar_spark.functions.text import minhash_from_shingles, shingles
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -171,10 +171,14 @@ def minhash_lsh_pairs(
     a band-bucket equi-join; verification re-joins shingle sets only for
     candidates (the 100 TB-safe shape: no all-pairs stage anywhere)."""
     rows = n_hashes // bands
+    # Materialize the shingle array ONCE, then derive the signature from
+    # the column — otherwise each of the n_hashes lanes re-evaluates the
+    # tokenize+shingle subtree (measured 5x slowdown).
     sig = docs.select(
         F.col(id_col).alias("doc_id"),
-        minhash_signature(F.col(text_col), n_hashes, shingle_n).alias("_sig"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    ).select(
+        "doc_id", "_sh", minhash_from_shingles(F.col("_sh"), n_hashes).alias("_sig")
     )
     banded = sig.select(
         "doc_id",

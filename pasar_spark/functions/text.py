@@ -47,11 +47,19 @@ def avg_token_len(col: Column) -> Column:
     return total / F.size(toks).cast("double")
 
 
+def stopword_ratio_tokens(toks: Column, lang: str = "en") -> Column:
+    """Stopword hit ratio over a PRE-MATERIALIZED token-array column.
+    Callers computing several ratios (language ID scores all languages)
+    must tokenize once into a column first — Catalyst does not eliminate
+    the repeated split() subtrees across lanes."""
+    hits = F.size(
+        F.filter(F.transform(toks, F.lower), lambda t: t.isin(*STOPWORDS[lang]))
+    )
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
-    words = [F.lit(w) for w in STOPWORDS[lang]]
-    hits = F.size(F.filter(tokens(F.lower(col)), lambda t: t.isin(*STOPWORDS[lang])))
-    _ = words  # isin on literals compiles to an In expression
-    return hits.cast("double") / F.greatest(token_count(col), F.lit(1)).cast("double")
+    return stopword_ratio_tokens(tokens(col), lang)
 
 
 def quality_score(col: Column) -> Column:
@@ -70,13 +78,14 @@ def lang_scores(col: Column) -> Column:
     )
 
 
-def lang_id(col: Column) -> Column:
-    """Pick the language with the highest stopword hit ratio; 'und' when
-    nothing matches (e.g. zh with latin-script stopword lists)."""
+def lang_id_tokens(toks: Column) -> Column:
+    """Pick the language with the highest stopword hit ratio over a
+    pre-materialized token array; 'und' when nothing matches (e.g. zh
+    with latin-script stopword lists)."""
     best = None
     best_score = None
     for lang in STOPWORDS:
-        s = stopword_ratio(col, lang)
+        s = stopword_ratio_tokens(toks, lang)
         if best is None:
             best, best_score = F.lit(lang), s
         else:
@@ -84,6 +93,10 @@ def lang_id(col: Column) -> Column:
             best = F.when(cond, F.lit(lang)).otherwise(best)
             best_score = F.when(cond, s).otherwise(best_score)
     return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def lang_id(col: Column) -> Column:
+    return lang_id_tokens(tokens(col))
 
 
 def fingerprint(col: Column) -> Column:
@@ -102,11 +115,12 @@ def shingles(col: Column, n: int = 5) -> Column:
     )
 
 
-def minhash_signature(col: Column, n_hashes: int = 32, shingle_n: int = 5) -> Column:
-    """MinHash signature: array of n_hashes min-over-shingles xxhash64
-    values, each with a distinct seed-salt. Pure Catalyst (higher-order
-    functions over the shingle array) — no UDF, fully codegen'd."""
-    sh = shingles(col, shingle_n)
+def minhash_from_shingles(sh: Column, n_hashes: int = 32) -> Column:
+    """MinHash signature from a PRE-MATERIALIZED shingle-array column:
+    array of n_hashes min-over-shingles xxhash64 values, each with a
+    distinct seed-salt. Pure Catalyst — no UDF, fully codegen'd. Pass a
+    real column, not the shingles() expression: the n lanes would each
+    re-evaluate the shingling subtree (no CSE across lanes)."""
 
     def _hash_fn(seed: int):
         # single-param lambda via factory: a default-arg lambda would have
@@ -116,6 +130,10 @@ def minhash_signature(col: Column, n_hashes: int = 32, shingle_n: int = 5) -> Co
 
     mins = [F.array_min(F.transform(sh, _hash_fn(i))) for i in range(n_hashes)]
     return F.array(*mins)
+
+
+def minhash_signature(col: Column, n_hashes: int = 32, shingle_n: int = 5) -> Column:
+    return minhash_from_shingles(shingles(col, shingle_n), n_hashes)
 
 
 def simhash(col: Column, bits: int = 64) -> Column:

@@ -197,9 +197,15 @@ class LakeTable:
         phys = [F.col(f.name).cast(f.type).alias(f"f{f.id}") for f in cur.fields]
         rel = os.path.join("data", commit_id)
         out_dir = os.path.join(self.path, rel)
-        df.select(*phys, F.col("_bucket")).write.mode("errorifexists").partitionBy(
-            "_bucket"
-        ).parquet(out_dir)
+        # Cluster rows by bucket before the dynamic-partition write: without
+        # this every shuffle partition spills a file into every bucket dir
+        # (shuffle_partitions x n_buckets tiny files per commit) and the
+        # NEXT merge's base scan drowns in file overhead. One shuffle here
+        # keeps the table at ~1 file per bucket per commit.
+        out = df.select(*phys, F.col("_bucket")).repartition(
+            self.manifest["n_buckets"], F.col("_bucket")
+        )
+        out.write.mode("errorifexists").partitionBy("_bucket").parquet(out_dir)
         new_files: dict[str, list[dict]] = {}
         for d in os.listdir(out_dir):
             if not d.startswith("_bucket="):

@@ -96,10 +96,12 @@ _LANG_PRED_SQL = f"""
     """,
 )
 def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram/stopword language ID confusion matrix vs the labeled lang."""
+    """n-gram/stopword language ID confusion matrix vs the labeled lang.
+    Tokenizes once into a column; the per-language scorers run over it."""
     d = load(spark, sf_dir, "documents")
     return (
-        d.select("lang", T.lang_id(F.col("text")).alias("pred_lang"))
+        d.select("lang", T.tokens(F.col("text")).alias("_toks"))
+        .select("lang", T.lang_id_tokens(F.col("_toks")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
