@@ -1,0 +1,144 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct; the
+Spark-side plumbing (schema, batching, partition-sized Arrow transfer) is
+real and tested, while the codec step is STUBBED — the decode libraries
+(PIL/ffmpeg/torchaudio) are not in this container. Each stub either
+raises NotImplementedError (strict mode) or produces a deterministic fake
+derived from the bytes (test mode), so pipelines exercise the exact
+mapInPandas shape they would run with real codecs.
+
+Design notes for 100 TB:
+- decode runs in ``mapInPandas`` so one Arrow batch amortizes the Python
+  hop over thousands of rows, and output cardinality may differ from
+  input (frame sampling explodes, filtering contracts);
+- binary payloads dominate row size -> ``spark.sql.files.maxPartitionBytes``
+  governs batch memory; metadata-only plans never touch the bytes thanks
+  to parquet column pruning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("sha1", StringType()),
+        StructField("feature", StringType()),
+    ]
+)
+
+
+def _decode_stub(payload: bytes, kind: str) -> str:
+    """STUB for the real codec. Deterministic fake: content hash prefix.
+    Replace with PIL/ffmpeg decode on a cluster with codec libs."""
+    if payload is None:
+        return None
+    return f"{kind}:{hashlib.sha1(payload).hexdigest()[:12]}"
+
+
+def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """mapInPandas feature extraction over binary media rows.
+
+    strict=True raises NotImplementedError at the decode step — the
+    behavior a deployment without codecs should surface instead of
+    silently faking features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "media decode requires codec libraries (PIL/ffmpeg); "
+                    "not available in this environment"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
+                    "sha1": pdf["payload"].map(
+                        lambda b: hashlib.sha1(b).hexdigest() if b is not None else None
+                    ),
+                    "feature": [
+                        _decode_stub(b, k) for b, k in zip(pdf["payload"], pdf["kind"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: 1 input row -> N output rows (one per sampled
+    frame timestamp). Output cardinality change is why this is mapInPandas
+    and not a scalar UDF. Frame decode itself is the same stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                dur = int(r["duration_ms"] or 0)
+                for t in range(0, max(dur, 1), every_ms):
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_ms": t,
+                            "frame_ref": _decode_stub(r["payload"], f"frame@{t}"),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_ms", "frame_ref"])
+
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("frame_ms", IntegerType()),
+            StructField("frame_ref", StringType()),
+        ]
+    )
+    return media.mapInPandas(run, schema=schema)
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (bytes from xxhash)."""
+    df = spark.range(n).select(
+        F.format_string("m-%04d", F.col("id")).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(
+            F.concat(F.lit("payload-"), F.xxhash64(F.col("id")).cast("string")), "utf-8"
+        ).cast("binary").alias("payload"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        (F.pmod(F.col("id"), F.lit(5)).cast("int") * 1000 + 500).alias("duration_ms"),
+    )
+    return df

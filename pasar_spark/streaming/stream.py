@@ -1,0 +1,97 @@
+"""Structured Streaming facade: continuous binlog tail -> MERGE.
+
+The batch replay (cdc/runner.py) and this stream share the SAME per-batch
+core (schema evolution -> promote -> LWW reduce -> bucket-pruned MERGE);
+only the chunking authority differs:
+
+- batch replay chunks by LSN range (deterministic batch ids);
+- streaming lets the Structured Streaming file source discover newly
+  appended WAL files and uses the streaming epoch id as the batch id.
+
+Exactly-once composition: Structured Streaming's checkpoint gives
+at-least-once redelivery of a failed epoch; the lake table's snapshot-
+embedded ledger (batch id "stream-<epoch>") makes re-application a no-op
+— together: exactly-once, the same argument as the batch path, so a
+crash between our snapshot commit and the streaming checkpoint commit is
+harmless.
+
+The reference has no streaming at all (SURVEY.md §2.10) — its closest
+artifact is the LIMIT/OFFSET batch loop (measurement.py:124-145); this
+module is the north-rule 'binlog/WAL tail' capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from pasar_spark.cdc.merge import merge_batch
+from pasar_spark.cdc.runner import BASE_COLUMNS, KEY
+from pasar_spark.cdc.schema_evolution import EvolutionPlan, max_schema_ver, promote_extra
+from pasar_spark.lake.table import LakeTable
+
+
+class StreamingIngest:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        wal_path: str,
+        checkpoint_path: str,
+        n_buckets: int = 16,
+        evolution_plan: EvolutionPlan | None = None,
+        normalizer: str = "arrow",
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = spark
+        self.table_path = table_path
+        self.wal_path = wal_path
+        self.checkpoint_path = checkpoint_path
+        self.n_buckets = n_buckets
+        self.evolution_plan = evolution_plan or EvolutionPlan()
+        self.normalizer = normalizer
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def bootstrap(self) -> LakeTable:
+        if LakeTable.exists(self.table_path):
+            return LakeTable.load(self.spark, self.table_path)
+        return LakeTable.create(
+            self.spark,
+            self.table_path,
+            columns=BASE_COLUMNS,
+            key=KEY,
+            n_buckets=self.n_buckets,
+            bucket_by="conv_id",
+        )
+
+    def _apply_epoch(self, batch_df, epoch_id: int) -> None:
+        batch_id = f"stream-{epoch_id}"
+        table = LakeTable.load(self.spark, self.table_path)
+        if table.has_batch(batch_id):
+            return  # redelivered epoch after a checkpoint/commit race
+        if self.evolution_plan.steps:
+            ver = max_schema_ver(batch_df)
+            if ver > table.manifest["ledger"].get("feed_schema_ver", 0):
+                table = self.evolution_plan.apply_up_to(table, ver)
+        batch_df = promote_extra(batch_df, table)
+        merge_batch(table, batch_df, batch_id, normalizer=self.normalizer)
+
+    def run_available_now(self):
+        """Drain everything currently in the WAL dir, then stop — the
+        testable trigger; production would use a processingTime trigger."""
+        self.bootstrap()
+        # The file source needs an explicit schema: take it from the
+        # current WAL contents (a production deployment would pin the
+        # envelope schema from the feed registry instead).
+        schema = self.spark.read.parquet(self.wal_path).schema
+        reader = self.spark.readStream.schema(schema)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        stream = reader.parquet(self.wal_path)
+        q = (
+            stream.writeStream.foreachBatch(self._apply_epoch)
+            .option("checkpointLocation", self.checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return LakeTable.load(self.spark, self.table_path)

@@ -1,0 +1,109 @@
+"""Two-parallelism scaling evidence (north rule: >=0.8 efficiency N->4N).
+
+No multi-node cluster exists in this sandbox, so per BASELINE.md §3 the
+N->4N executor criterion is evidenced by running the IDENTICAL replay job
+on IDENTICAL input at local[N] and local[4N] (fresh JVM each, shuffle
+partitions scaled with cores) and reporting events/sec at both.
+
+Usage: python scripts/scaling_bench.py [n_events] [N] [out.json]
+Writes a JSON report and prints it; BENCH.md cites the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pasar_spark.session import get_spark
+from pasar_spark.cdc.runner import ReplayRunner
+
+wal, cores, chunk, table_path = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+spark = get_spark("scaling-%d" % cores, master="local[%d]" % cores,
+                  shuffle_partitions=cores * 2,
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+t0 = time.time()
+table = ReplayRunner(spark, table_path, n_buckets=64, chunk_size=chunk).replay(wal)
+elapsed = time.time() - t0
+print(json.dumps({{"cores": cores, "wall_sec": elapsed,
+                   "last_lsn": table.last_lsn, "metrics": table.metrics}}))
+spark.stop()
+"""
+
+GEN = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pasar_spark.session import get_spark
+from pasar_spark.datagen import change_events, write_change_log
+wal, n = sys.argv[1], int(sys.argv[2])
+spark = get_spark("gen", master="local[32]",
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+write_change_log(change_events(spark, n, n_convs=max(10000, n // 100), seed=42),
+                 wal, n_files=128)
+spark.stop()
+"""
+
+
+def run_py(code: str, *args: str) -> str:
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(code.format(repo=REPO))
+        path = f.name
+    try:
+        out = subprocess.run(
+            [sys.executable, path, *args], capture_output=True, text=True, check=True
+        )
+        lines = out.stdout.strip().splitlines()
+        return lines[-1] if lines else ""
+    finally:
+        os.unlink(path)
+
+
+def main():
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    n_big = n_small * 4
+    chunk = max(n_events // 4, 1_000_000)
+
+    root = tempfile.mkdtemp(prefix="pasar_scaling_")
+    try:
+        wal = f"{root}/wal"
+        run_py(GEN, wal, str(n_events))
+        results = {}
+        for cores in (n_small, n_big):
+            r = json.loads(run_py(WORKER, wal, str(cores), str(chunk), f"{root}/tbl{cores}"))
+            r["events_per_sec"] = round(n_events / r["wall_sec"])
+            r["wall_sec"] = round(r["wall_sec"], 2)
+            results[str(cores)] = r
+        thr_n = results[str(n_small)]["events_per_sec"]
+        thr_4n = results[str(n_big)]["events_per_sec"]
+        report = {
+            "n_events": n_events,
+            "N": n_small,
+            "4N": n_big,
+            "events_per_sec_N": thr_n,
+            "events_per_sec_4N": thr_4n,
+            "speedup": round(thr_4n / thr_n, 3),
+            "scaling_efficiency": round(thr_4n / thr_n / 4, 3),
+            "detail": results,
+        }
+        print(json.dumps(report))
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(report, f, indent=2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Two-pass fallback lookup (J9) + multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pasar_spark.functions.lookup import two_pass_lookup
+from pasar_spark.functions.multimodal import (
+    extract_features,
+    sample_frames,
+    synth_media,
+)
+
+
+def test_two_pass_lookup(spark):
+    facts = spark.createDataFrame(
+        [("ASPIRIN",), ("aspirin (oral)",), ("IBUPROFEN 200MG",), ("unknown-drug",)],
+        "code string",
+    )
+    dictionary = spark.createDataFrame(
+        [("ASPIRIN", 11), ("IBUPROFEN", 22), ("PARACETAMOL", 33)],
+        "source_code string, concept_id int",
+    )
+    # normalization mirrors the reference's regex strip of parenthetical/
+    # dosage suffixes (temp_drugmed_view.sql:36-39)
+    norm = lambda c: F.upper(F.regexp_replace(c, r"\s*(\(.*\)|\d+MG).*$", ""))
+    out = two_pass_lookup(
+        facts, dictionary, "code", "source_code", "concept_id", norm, default=0
+    )
+    got = {r.code: r.mapped for r in out.collect()}
+    assert got == {
+        "ASPIRIN": 11,  # pass 1 exact
+        "aspirin (oral)": 11,  # pass 2 normalized
+        "IBUPROFEN 200MG": 22,  # pass 2 normalized
+        "unknown-drug": 0,  # default
+    }
+
+
+def test_two_pass_lookup_broadcasts(spark):
+    facts = spark.createDataFrame([("A",)], "code string")
+    d = spark.createDataFrame([("A", 1)], "source_code string, concept_id int")
+    out = two_pass_lookup(facts, d, "code", "source_code", "concept_id", F.upper)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_media_feature_extraction(spark):
+    media = synth_media(spark, 32)
+    feats = extract_features(media).collect()
+    assert len(feats) == 32
+    by_id = {r.media_id: r for r in feats}
+    assert by_id["m-0000"].sha1 is not None
+    assert by_id["m-0001"].feature.startswith(by_id["m-0001"].kind + ":")
+    # deterministic across runs
+    feats2 = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert feats2 == {r.media_id: r.feature for r in feats}
+
+
+def test_media_strict_mode_raises(spark):
+    media = synth_media(spark, 4)
+    with pytest.raises(Exception) as ei:
+        extract_features(media, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_frame_sampling_cardinality(spark):
+    media = synth_media(spark, 9).where("kind = 'video'")
+    frames = sample_frames(media, every_ms=1000)
+    rows = frames.collect()
+    # each video yields ceil(max(duration,1)/1000) frames
+    durs = {r.media_id: r.duration_ms for r in media.collect()}
+    import math
+
+    want = sum(math.ceil(max(d, 1) / 1000) for d in durs.values())
+    assert len(rows) == want
+    assert {r.media_id for r in rows} == set(durs)

@@ -1,0 +1,50 @@
+"""Structured Streaming facade: tail the WAL dir, drain with availableNow,
+verify the final table equals the batch-replay result, then append more
+WAL files and drain again (incremental tail + checkpoint resume)."""
+
+from __future__ import annotations
+
+from pasar_spark.cdc.runner import ReplayRunner
+from pasar_spark.datagen import change_events, write_change_log
+from pasar_spark.streaming.stream import StreamingIngest
+
+
+def _state(table):
+    return sorted(
+        (r.conv_id, r.turn_idx, r.text, r.lsn) for r in table.read().collect()
+    )
+
+
+def test_stream_matches_batch_and_resumes(spark, tmp_path):
+    wal = str(tmp_path / "wal")
+    ev_all = change_events(spark, 6_000, n_convs=100, seed=21)
+    # stage 1: first 4k events land in the WAL
+    write_change_log(ev_all.where("lsn < 4000"), wal, n_files=4)
+
+    ingest = StreamingIngest(
+        spark,
+        str(tmp_path / "tbl"),
+        wal,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        n_buckets=4,
+    )
+    t1 = ingest.run_available_now()
+    batch1 = ReplayRunner(spark, str(tmp_path / "tbl_batch1"), n_buckets=4, chunk_size=2_000).replay(
+        wal
+    )
+    assert _state(t1) == _state(batch1)
+
+    # stage 2: more WAL files appear (append-only tail) — note parquet
+    # append into the same dir, as a binlog shipper would
+    ev_all.where("lsn >= 4000").repartition(2).write.mode("append").parquet(wal)
+    t2 = ingest.run_available_now()
+    batch2 = ReplayRunner(spark, str(tmp_path / "tbl_batch2"), n_buckets=4, chunk_size=2_000).replay(
+        wal
+    )
+    assert _state(t2) == _state(batch2)
+    assert t2.metrics["events_seen"] >= 6_000
+
+    # stage 3: drain again with nothing new -> no state change, no new data
+    v = t2.version
+    t3 = ingest.run_available_now()
+    assert _state(t3) == _state(t2)
