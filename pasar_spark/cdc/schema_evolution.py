@@ -63,8 +63,8 @@ def promote_extra(events: DataFrame, table: LakeTable) -> DataFrame:
     column that is not part of the base envelope. JSON access + cast is
     pure Catalyst (get_json_object) — no Python."""
     for f in table.schema.fields:
-        if f.name in ENVELOPE or f.name in events.columns:
-            continue
+        if f.name in ENVELOPE or f.name in events.columns or f.name.startswith("_"):
+            continue  # never synthesize engine-internal (_-prefixed) columns
         events = events.withColumn(
             f.name, F.get_json_object(F.col("extra"), f"$.{f.name}").cast(f.type)
         )

@@ -1,0 +1,201 @@
+"""Operational CLI — the spark-submit entry point.
+
+Mirrors the reference's command surface (README.md:71-120 —
+``python . db create_omop_schema`` / ``python . etl <tables>`` /
+``python . stats``) reshaped for the CDC engine:
+
+    python -m pasar_spark bootstrap --table /lake/transcripts
+    python -m pasar_spark gen       --wal /wal --events 1000000
+    python -m pasar_spark ingest    --table /lake/transcripts --wal /wal
+    python -m pasar_spark stream    --table ... --wal ... --checkpoint ...
+    python -m pasar_spark compact   --table ... [--min-files 8]
+    python -m pasar_spark vacuum    --table ... --horizon-lsn N
+    python -m pasar_spark stats     --table ...
+
+On a cluster: ``spark-submit --py-files pasar_spark.zip -m pasar_spark ...``
+(the session factory honors PASAR_SPARK_MASTER).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pasar_spark.session import get_spark
+
+
+def _spark(args):
+    return get_spark(
+        "pasar-cli",
+        master=args.master,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+
+def cmd_bootstrap(args) -> int:
+    from pasar_spark.cdc.runner import ReplayRunner
+
+    spark = _spark(args)
+    t = ReplayRunner(spark, args.table, n_buckets=args.buckets).bootstrap()
+    print(json.dumps({"table": args.table, "version": t.version, "schema": t.schema.to_json()}))
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from pasar_spark.datagen import change_events, write_change_log
+
+    spark = _spark(args)
+    df = change_events(
+        spark,
+        args.events,
+        n_convs=args.convs,
+        seed=args.seed,
+        evolution_lsn=args.evolution_lsn,
+    )
+    write_change_log(df, args.wal, n_files=args.files)
+    print(json.dumps({"wal": args.wal, "events": args.events}))
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from pasar_spark.cdc.runner import ReplayRunner
+
+    spark = _spark(args)
+    runner = ReplayRunner(
+        spark,
+        args.table,
+        n_buckets=args.buckets,
+        chunk_size=args.chunk_size,
+        merge_mode=args.mode,
+        normalizer=args.normalizer,
+        compact_min_files=args.compact_min_files,
+    )
+    t = runner.replay(args.wal, max_events=args.max_events)
+    print(json.dumps({"table": args.table, "last_lsn": t.last_lsn, "metrics": t.metrics}))
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from pasar_spark.streaming.stream import StreamingIngest
+
+    spark = _spark(args)
+    ingest = StreamingIngest(
+        spark,
+        args.table,
+        args.wal,
+        checkpoint_path=args.checkpoint,
+        n_buckets=args.buckets,
+        merge_mode=args.mode,
+    )
+    t = ingest.run_available_now()
+    print(json.dumps({"table": args.table, "last_lsn": t.last_lsn, "metrics": t.metrics}))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from pasar_spark.cdc.merge import compact_buckets
+    from pasar_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    t, delta = compact_buckets(
+        LakeTable.load(spark, args.table), min_files=args.min_files
+    )
+    print(json.dumps({"table": args.table, **delta, "version": t.version}))
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    from pasar_spark.cdc.merge import vacuum_tombstones
+    from pasar_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    t, delta = vacuum_tombstones(LakeTable.load(spark, args.table), args.horizon_lsn)
+    print(json.dumps({"table": args.table, **delta, "version": t.version}))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from pasar_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    t = LakeTable.load(spark, args.table)
+    out = {
+        "table": args.table,
+        "version": t.version,
+        "last_lsn": t.last_lsn,
+        "metrics": t.metrics,
+        "rows": t.read().count(),
+        "buckets": len(t.manifest["buckets"]),
+        "unresolved_buckets": len(t.manifest.get("unresolved", [])),
+        "files": sum(t.bucket_file_counts().values()),
+        "schema": t.schema.to_json(),
+    }
+    if args.history:
+        out["history"] = t.history()
+    print(json.dumps(out))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pasar_spark", description=__doc__)
+    p.add_argument("--master", default=None, help="spark master (default: local[*] or $PASAR_SPARK_MASTER)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bootstrap", help="create the transcripts lake table")
+    b.add_argument("--table", required=True)
+    b.add_argument("--buckets", type=int, default=16)
+    b.set_defaults(fn=cmd_bootstrap)
+
+    g = sub.add_parser("gen", help="write a deterministic synthetic change log")
+    g.add_argument("--wal", required=True)
+    g.add_argument("--events", type=int, required=True)
+    g.add_argument("--convs", type=int, default=1000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--files", type=int, default=32)
+    g.add_argument("--evolution-lsn", type=int, default=None)
+    g.set_defaults(fn=cmd_gen)
+
+    i = sub.add_parser("ingest", help="replay the WAL from the checkpoint to its end")
+    i.add_argument("--table", required=True)
+    i.add_argument("--wal", required=True)
+    i.add_argument("--buckets", type=int, default=16)
+    i.add_argument("--chunk-size", type=int, default=1_000_000)
+    i.add_argument("--max-events", type=int, default=None)
+    i.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    i.add_argument("--normalizer", choices=["arrow", "native", "none"], default="arrow")
+    i.add_argument("--compact-min-files", type=int, default=8)
+    i.set_defaults(fn=cmd_ingest)
+
+    s = sub.add_parser("stream", help="drain the WAL via Structured Streaming (availableNow)")
+    s.add_argument("--table", required=True)
+    s.add_argument("--wal", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--buckets", type=int, default=16)
+    s.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    s.set_defaults(fn=cmd_stream)
+
+    c = sub.add_parser("compact", help="fold MoR delta files")
+    c.add_argument("--table", required=True)
+    c.add_argument("--min-files", type=int, default=8)
+    c.set_defaults(fn=cmd_compact)
+
+    v = sub.add_parser("vacuum", help="drop tombstones older than the horizon")
+    v.add_argument("--table", required=True)
+    v.add_argument("--horizon-lsn", type=int, required=True)
+    v.set_defaults(fn=cmd_vacuum)
+
+    st = sub.add_parser("stats", help="table metrics / lineage readout")
+    st.add_argument("--table", required=True)
+    st.add_argument("--history", action="store_true")
+    st.set_defaults(fn=cmd_stats)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -75,10 +75,14 @@ class LakeTable:
             "name": name,
             "key": key,
             "bucket_by": bucket_by or key[0],
+            "resolve_order": ["ts", "lsn"],
             "n_buckets": n_buckets,
             "current_schema_id": 0,
             "schemas": {"0": schema.to_json()},
-            "buckets": {},  # bucket(str) -> [{path, schema_id, rows}]
+            "buckets": {},  # bucket(str) -> [{path, schema_id}]
+            # buckets whose file set holds unresolved MoR deltas (>1 row
+            # version per key possible) — reads LWW-resolve these
+            "unresolved": [],
             "ledger": {"last_lsn": -1, "batch_ids": [], "source_partitions": {}},
             "metrics": {
                 "applied": 0,
@@ -127,7 +131,17 @@ class LakeTable:
         return self._evolve(self.schema.add_column(name, dtype), tag=f"add-{name}")
 
     def rename_column(self, old: str, new: str) -> "LakeTable":
-        return self._evolve(self.schema.rename_column(old, new), tag=f"rename-{old}-{new}")
+        schema = self.schema.rename_column(old, new)
+        m = json.loads(json.dumps(self.manifest))
+        m["schemas"][str(schema.schema_id)] = schema.to_json()
+        m["current_schema_id"] = schema.schema_id
+        # logical references in the manifest follow the rename (key /
+        # bucketing / LWW order may name the renamed column)
+        m["key"] = [new if k == old else k for k in m["key"]]
+        if m.get("bucket_by") == old:
+            m["bucket_by"] = new
+        m["resolve_order"] = [new if c == old else c for c in m.get("resolve_order", [])]
+        return self._commit(m, tag=f"rename-{old}-{new}")
 
     def widen_column(self, name: str, new_type: str) -> "LakeTable":
         return self._evolve(self.schema.widen_column(name, new_type), tag=f"widen-{name}")
@@ -149,16 +163,50 @@ class LakeTable:
 
         Delete tombstones (see cdc/merge.py) are hidden unless
         ``include_tombstones`` — the merge path needs them so that
-        out-of-order staler events can never resurrect a deleted key."""
+        out-of-order staler events can never resurrect a deleted key.
+
+        Merge-on-read: buckets listed in manifest['unresolved'] may hold
+        several versions of a key across delta files; they are LWW-
+        resolved here (max over (ts, lsn)) before tombstone filtering.
+        Resolved (copy-on-write/compacted) buckets skip that reduce."""
         cur = self.schema
         wanted = (
-            self.manifest["buckets"].items()
+            list(self.manifest["buckets"].keys())
             if buckets is None
-            else [(str(b), self.manifest["buckets"].get(str(b), [])) for b in buckets]
+            else [str(b) for b in buckets]
         )
+        unresolved = set(self.manifest.get("unresolved", []))
+        plain = self._read_files([b for b in wanted if b not in unresolved])
+        lazy = self._read_files([b for b in wanted if b in unresolved])
+        if lazy is not None:
+            from pasar_spark.cdc.lww import lww_reduce  # lazy: avoids cycle
+
+            key = self.manifest["key"]
+            order = self.manifest.get("resolve_order", ["ts", "lsn"])
+            payload = [c for c in cur.names() if c not in set(key) | set(order)]
+            lazy = lww_reduce(lazy, key=key, order=order, payload=payload)
+            # restore declared column order after reduce
+            lazy = lazy.select(*cur.names())
+        parts = [p for p in (plain, lazy) if p is not None]
+        if not parts:
+            out = self.spark.createDataFrame([], cur.logical_struct())
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if not include_tombstones and "_tombstone" in cur.names():
+            out = out.where(
+                (F.col("_tombstone").isNull()) | (~F.col("_tombstone"))
+            ).drop("_tombstone")
+        return out
+
+    def _read_files(self, bucket_ids: list[str]) -> DataFrame | None:
+        """Union the files of the given buckets at the current logical
+        schema (per-written-schema groups, field-id mapped)."""
+        cur = self.schema
         by_schema: dict[int, list[str]] = {}
-        for _b, files in wanted:
-            for entry in files:
+        for b in bucket_ids:
+            for entry in self.manifest["buckets"].get(b, []):
                 by_schema.setdefault(entry["schema_id"], []).append(
                     os.path.join(self.path, entry["path"])
                 )
@@ -176,15 +224,10 @@ class LakeTable:
             ]
             parts.append(raw.select(*cols))
         if not parts:
-            out = self.spark.createDataFrame([], cur.logical_struct())
-        else:
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-        if not include_tombstones and "_tombstone" in cur.names():
-            out = out.where(
-                (F.col("_tombstone").isNull()) | (~F.col("_tombstone"))
-            ).drop("_tombstone")
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
         return out
 
     # ---------------------------------------------------------------- write
@@ -236,8 +279,11 @@ class LakeTable:
         m = json.loads(json.dumps(self.manifest))
         for b in replaced_buckets:
             m["buckets"].pop(str(b), None)
+        unresolved = set(m.get("unresolved", []))
+        unresolved -= {str(b) for b in replaced_buckets}
         for b, entries in new_files.items():
             m["buckets"][b] = entries
+        m["unresolved"] = sorted(unresolved)
         led = m["ledger"]
         if batch_id in led["batch_ids"]:
             raise CommitConflict(f"batch {batch_id} already committed")
@@ -247,6 +293,38 @@ class LakeTable:
         for k, v in (metrics_delta or {}).items():
             m["metrics"][k] = m["metrics"].get(k, 0) + v
         return self._commit(m, tag=tag or f"batch-{batch_id}")
+
+    def commit_append(
+        self,
+        new_files: dict[str, list[dict]],
+        batch_id: str,
+        last_lsn: int | None = None,
+        metrics_delta: dict | None = None,
+        tag: str | None = None,
+    ) -> "LakeTable":
+        """Merge-on-read commit: APPEND delta files to their buckets and
+        mark those buckets unresolved (reads LWW-resolve them). O(changes)
+        per commit regardless of table size — the 10^10-event write path;
+        read cost is bounded by compaction (cdc/merge.py compact_buckets)."""
+        m = json.loads(json.dumps(self.manifest))
+        unresolved = set(m.get("unresolved", []))
+        for b, entries in new_files.items():
+            m["buckets"].setdefault(b, [])
+            m["buckets"][b] = m["buckets"][b] + entries
+            unresolved.add(b)
+        m["unresolved"] = sorted(unresolved)
+        led = m["ledger"]
+        if batch_id in led["batch_ids"]:
+            raise CommitConflict(f"batch {batch_id} already committed")
+        led["batch_ids"] = (led["batch_ids"] + [batch_id])[-256:]
+        if last_lsn is not None:
+            led["last_lsn"] = max(led["last_lsn"], last_lsn)
+        for k, v in (metrics_delta or {}).items():
+            m["metrics"][k] = m["metrics"].get(k, 0) + v
+        return self._commit(m, tag=tag or f"batch-{batch_id}")
+
+    def bucket_file_counts(self) -> dict[str, int]:
+        return {b: len(fs) for b, fs in self.manifest["buckets"].items()}
 
     def has_batch(self, batch_id: str) -> bool:
         return batch_id in self.manifest["ledger"]["batch_ids"]

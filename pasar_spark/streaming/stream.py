@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from pasar_spark.cdc.merge import merge_batch
+from pasar_spark.cdc.merge import compact_buckets, merge_batch
 from pasar_spark.cdc.runner import BASE_COLUMNS, KEY
 from pasar_spark.cdc.schema_evolution import EvolutionPlan, max_schema_ver, promote_extra
 from pasar_spark.lake.table import LakeTable
@@ -41,6 +41,8 @@ class StreamingIngest:
         evolution_plan: EvolutionPlan | None = None,
         normalizer: str = "arrow",
         max_files_per_trigger: int | None = None,
+        merge_mode: str = "mor",
+        compact_min_files: int = 8,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -50,6 +52,8 @@ class StreamingIngest:
         self.evolution_plan = evolution_plan or EvolutionPlan()
         self.normalizer = normalizer
         self.max_files_per_trigger = max_files_per_trigger
+        self.merge_mode = merge_mode
+        self.compact_min_files = compact_min_files
 
     def bootstrap(self) -> LakeTable:
         if LakeTable.exists(self.table_path):
@@ -73,7 +77,11 @@ class StreamingIngest:
             if ver > table.manifest["ledger"].get("feed_schema_ver", 0):
                 table = self.evolution_plan.apply_up_to(table, ver)
         batch_df = promote_extra(batch_df, table)
-        merge_batch(table, batch_df, batch_id, normalizer=self.normalizer)
+        table, _ = merge_batch(
+            table, batch_df, batch_id, normalizer=self.normalizer, mode=self.merge_mode
+        )
+        if self.merge_mode == "mor":
+            compact_buckets(table, min_files=self.compact_min_files)
 
     def run_available_now(self):
         """Drain everything currently in the WAL dir, then stop — the

@@ -23,18 +23,43 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+import pyspark
+os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
 from pasar_spark.session import get_spark
 from pasar_spark.cdc.runner import ReplayRunner
 
-wal, cores, chunk, table_path = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
-spark = get_spark("scaling-%d" % cores, master="local[%d]" % cores,
-                  shuffle_partitions=cores * 2,
-                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+wal, master, cores, chunk, table_path = (
+    sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4]), sys.argv[5])
+extra = {{"spark.ui.showConsoleProgress": "false"}}
+if os.environ.get("PASAR_SCALING_LOCALDIR"):
+    # put shuffle/spill files on the same (ram-)disk as the data so the
+    # measurement isolates engine scaling from single-disk IO limits —
+    # on a real cluster both scale with the node count
+    extra["spark.local.dir"] = os.environ["PASAR_SCALING_LOCALDIR"]
+if master.startswith("local-cluster"):
+    # real separate executor JVMs — the honest emulation of a
+    # multi-executor cluster on one box (ship the engine code like
+    # spark-submit --py-files would)
+    extra["spark.executor.memory"] = "3g"
+spark = get_spark("scaling-%d" % cores, master=master,
+                  shuffle_partitions=cores * 2, extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
+if master.startswith("local-cluster"):
+    import shutil, tempfile
+    z = shutil.make_archive(tempfile.mktemp(prefix="pasar_pyz"), "zip",
+                            root_dir={repo!r}, base_dir="pasar_spark")
+    spark.sparkContext.addPyFile(z)
+mode = os.environ.get("PASAR_SCALING_MODE", "mor")
+# Warmup pass on a throwaway table: JIT-compile the codegen stages and
+# warm the page cache, so the measured pass reflects steady-state
+# throughput (what a long 10^10-event replay runs at), not cold-start.
+ReplayRunner(spark, table_path + ".warmup", n_buckets=64, chunk_size=chunk,
+             merge_mode=mode).replay(wal)
 t0 = time.time()
-table = ReplayRunner(spark, table_path, n_buckets=64, chunk_size=chunk).replay(wal)
+table = ReplayRunner(spark, table_path, n_buckets=64, chunk_size=chunk,
+                     merge_mode=mode).replay(wal)
 elapsed = time.time() - t0
-print(json.dumps({{"cores": cores, "wall_sec": elapsed,
+print(json.dumps({{"cores": cores, "master": master, "wall_sec": elapsed,
                    "last_lsn": table.last_lsn, "metrics": table.metrics}}))
 spark.stop()
 """
@@ -70,27 +95,43 @@ def run_py(code: str, *args: str) -> str:
 
 def main():
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
-    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    topology = os.environ.get("PASAR_SCALING_TOPOLOGY", "cluster")
     n_big = n_small * 4
-    chunk = max(n_events // 4, 1_000_000)
+    # big chunks: per-chunk fixed costs (driver planning, commit IO,
+    # python-worker spin-up) are parallelism-independent — scaling is
+    # only observable when per-chunk compute dominates them
+    chunk = max(n_events // 2, 1_000_000)
+
+    def master_for(workers: int) -> tuple[str, int]:
+        if topology == "cluster":
+            # N vs 4N separate EXECUTOR JVMs, 4 cores each — matches the
+            # north rule's executor-count criterion; single-JVM local[n]
+            # understates scaling (shared-JVM contention, measured)
+            return f"local-cluster[{workers},4,3072]", workers * 4
+        return f"local[{workers}]", workers
 
     root = tempfile.mkdtemp(prefix="pasar_scaling_")
     try:
         wal = f"{root}/wal"
         run_py(GEN, wal, str(n_events))
         results = {}
-        for cores in (n_small, n_big):
-            r = json.loads(run_py(WORKER, wal, str(cores), str(chunk), f"{root}/tbl{cores}"))
+        for workers in (n_small, n_big):
+            master, cores = master_for(workers)
+            r = json.loads(
+                run_py(WORKER, wal, master, str(cores), str(chunk), f"{root}/tbl{workers}")
+            )
             r["events_per_sec"] = round(n_events / r["wall_sec"])
             r["wall_sec"] = round(r["wall_sec"], 2)
-            results[str(cores)] = r
+            results[str(workers)] = r
         thr_n = results[str(n_small)]["events_per_sec"]
         thr_4n = results[str(n_big)]["events_per_sec"]
         report = {
             "n_events": n_events,
-            "N": n_small,
-            "4N": n_big,
+            "topology": topology,
+            "N_executors": n_small,
+            "4N_executors": n_big,
             "events_per_sec_N": thr_n,
             "events_per_sec_4N": thr_4n,
             "speedup": round(thr_4n / thr_n, 3),
