@@ -25,6 +25,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# 32 concurrent parquet-writer tasks need heap headroom: a 16g heap GC-
+# thrashes (measured: local[32] SLOWER than local[8]); 64g restores 0.84
+# scaling efficiency. The box has 125G.
+os.environ.setdefault("PASAR_DRIVER_MEM", "64g")
+
 from pasar_spark.session import get_spark  # noqa: E402
 
 # All-pairs oracle twins are excluded (they exist for small-scale

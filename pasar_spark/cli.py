@@ -33,6 +33,15 @@ def _spark(args):
     )
 
 
+def _load_table(spark, path: str):
+    from pasar_spark.lake.table import LakeTable
+
+    if not LakeTable.exists(path):
+        print(f"error: no lake table at {path!r} (run bootstrap/ingest first)", file=sys.stderr)
+        raise SystemExit(2)
+    return LakeTable.load(spark, path)
+
+
 def cmd_bootstrap(args) -> int:
     from pasar_spark.cdc.runner import ReplayRunner
 
@@ -95,31 +104,25 @@ def cmd_stream(args) -> int:
 
 def cmd_compact(args) -> int:
     from pasar_spark.cdc.merge import compact_buckets
-    from pasar_spark.lake.table import LakeTable
 
     spark = _spark(args)
-    t, delta = compact_buckets(
-        LakeTable.load(spark, args.table), min_files=args.min_files
-    )
+    t, delta = compact_buckets(_load_table(spark, args.table), min_files=args.min_files)
     print(json.dumps({"table": args.table, **delta, "version": t.version}))
     return 0
 
 
 def cmd_vacuum(args) -> int:
     from pasar_spark.cdc.merge import vacuum_tombstones
-    from pasar_spark.lake.table import LakeTable
 
     spark = _spark(args)
-    t, delta = vacuum_tombstones(LakeTable.load(spark, args.table), args.horizon_lsn)
+    t, delta = vacuum_tombstones(_load_table(spark, args.table), args.horizon_lsn)
     print(json.dumps({"table": args.table, **delta, "version": t.version}))
     return 0
 
 
 def cmd_stats(args) -> int:
-    from pasar_spark.lake.table import LakeTable
-
     spark = _spark(args)
-    t = LakeTable.load(spark, args.table)
+    t = _load_table(spark, args.table)
     out = {
         "table": args.table,
         "version": t.version,

@@ -249,19 +249,27 @@ class LakeTable:
             self.manifest["n_buckets"], F.col("_bucket")
         )
         out.write.mode("errorifexists").partitionBy("_bucket").parquet(out_dir)
+        import pyarrow.parquet as pq
+
         new_files: dict[str, list[dict]] = {}
         for d in os.listdir(out_dir):
             if not d.startswith("_bucket="):
                 continue
             b = str(int(d.split("=")[1]))
-            entries = [
-                {
-                    "path": os.path.join(rel, d, f),
-                    "schema_id": cur.schema_id,
-                }
-                for f in os.listdir(os.path.join(out_dir, d))
-                if f.endswith(".parquet")
-            ]
+            entries = []
+            for f in os.listdir(os.path.join(out_dir, d)):
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(out_dir, d, f)
+                # row count from the parquet footer: free per-partition
+                # lineage (north rule) without a counting job
+                entries.append(
+                    {
+                        "path": os.path.join(rel, d, f),
+                        "schema_id": cur.schema_id,
+                        "rows": pq.ParquetFile(full).metadata.num_rows,
+                    }
+                )
             new_files[b] = entries
         return new_files
 
