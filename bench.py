@@ -114,6 +114,12 @@ def main():
 
     registry = q.queries()
     times: dict[str, float] = {}
+    # Steady-state methodology: one warmup run per query (absorbs JVM JIT
+    # of each query's interpreted higher-order-function paths — a fixed
+    # per-expression-shape cost that amortizes to zero over a 100 TB run),
+    # then one measured run. Total wall (value) still includes warmup.
+    for name in BENCH_QUERIES:
+        registry[name](spark, sf_dir).count()
     for name in BENCH_QUERIES:
         fn = registry[name]
         t0 = time.time()
@@ -127,6 +133,7 @@ def main():
         "value": round(time.time() - total_t0, 2),
         "unit": "sec",
         "queries": times,
+        "methodology": "per-query: 1 warmup + 1 measured run (steady state)",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "replay": replay,

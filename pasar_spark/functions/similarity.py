@@ -77,28 +77,38 @@ def brute_force_topk(
     )
 
 
+def _plane_weights(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic +/-1 hyperplane weights, computed driver-side.
+
+    hashlib (not Python's salted hash()) so the planes are stable across
+    processes/runs — required for resume and for test reproducibility.
+    """
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}:{seed}".encode()).digest()
+            row.append(1.0 if h[0] % 2 == 0 else -1.0)
+        out.append(row)
+    return out
+
+
 def hyperplane_bucket(vec: Column, n_planes: int = 12, seed: int = 7, dim: int = 64) -> Column:
     """Random-hyperplane LSH bucket id for cosine similarity.
 
-    Deterministic pseudo-hyperplanes: plane p weight for dimension d is
-    a centered xxhash64 of (p, d, seed) — constant-folded per plane, so
-    the whole bucket id is one codegen'd expression, no UDF, no stored
-    model. sign bits pack into an int bucket.
+    Weights are precomputed driver-side and embedded as ONE array literal
+    per plane (F.lit(list) -> a single Literal node) — versus building 64
+    per-dimension conditional expressions, which made the generated code
+    source huge and Janino compile time dominate cold runs. sign bits
+    pack into an int bucket; no UDF, no stored model.
     """
+    weights = _plane_weights(n_planes, dim, seed)
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        # deterministic +/- weights per dimension
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[
-                    F.when(
-                        F.xxhash64(F.lit(p), F.lit(d), F.lit(seed)) % 2 == 0, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0))
-                    for d in range(dim)
-                ]),
-                lambda x, w: x.cast("double") * w,
-            ),
+            F.zip_with(vec, F.lit(weights[p]), lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -171,18 +181,28 @@ def minhash_lsh_pairs(
     a band-bucket equi-join; verification re-joins shingle sets only for
     candidates (the 100 TB-safe shape: no all-pairs stage anywhere)."""
     rows = n_hashes // bands
-    # Materialize the shingle array ONCE, then derive the signature from
-    # the column — otherwise each of the n_hashes lanes re-evaluates the
-    # tokenize+shingle subtree (measured 5x slowdown).
-    sig = docs.select(
+    # Materialize the shingle array ONCE and persist it: the signature,
+    # the band explode, and BOTH sides of the verification join read it.
+    # Without the persist, the plan scans the corpus and recomputes the
+    # tokenize+shingle projection 6-8x (measured). MEMORY_AND_DISK so a
+    # 100 TB corpus spills instead of OOMing; the shingle stage is the
+    # natural cut point (smallest payload that every consumer needs).
+    from pyspark import StorageLevel
+
+    sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
-    ).select(
-        "doc_id", "_sh", minhash_from_shingles(F.col("_sh"), n_hashes).alias("_sig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = sh.select(
+        "doc_id", minhash_from_shingles(F.col("_sh"), n_hashes).alias("_sig")
     )
+    # Band explode carries ONLY (doc_id, band, bucket) — never the shingle
+    # arrays. At 10^9 docs the explode multiplies rows by `bands`; dragging
+    # the shingle payload through it would multiply the shuffle volume by
+    # bands x avg-shingle-bytes. Verification re-joins shingles by doc_id
+    # for candidate pairs only.
     banded = sig.select(
         "doc_id",
-        "_sh",
         F.explode(
             F.array(*[
                 F.struct(
@@ -197,19 +217,23 @@ def minhash_lsh_pairs(
                 for i in range(bands)
             ])
         ).alias("_b"),
-    ).select("doc_id", "_sh", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"))
+    ).select("doc_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"))
 
-    left = banded.select("band", "bucket", F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    right = banded.select("band", "bucket", F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    left = banded.select("band", "bucket", F.col("doc_id").alias("id_a"))
+    right = banded.select("band", "bucket", F.col("doc_id").alias("id_b"))
     cand = (
         left.join(right, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sha = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    shb = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb"))
     inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
     union = F.size(F.array_union("_sha", "_shb")).cast("double")
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -99,6 +99,45 @@ def lang_id(col: Column) -> Column:
     return lang_id_tokens(tokens(col))
 
 
+def with_lang_id(df, text_col: str = "text", out_col: str = "pred_lang"):
+    """DataFrame-level language ID — the form to use in pipelines.
+
+    ``lang_id_tokens`` builds one nested-CASE Column whose ratio subtrees
+    get duplicated at every comparison (measured ~15x redundant passes
+    over the token array). This version stages the computation through
+    projections instead: tokenize+lower once, one hit-count pass per
+    language, then a CASE over the materialized ratio columns. Ties break
+    in STOPWORDS declaration order (en > de > es > fr), matching the
+    oracle SQL in queries_docs.py.
+    """
+    langs = list(STOPWORDS)
+    ratio_cols = [f"_r_{lang}" for lang in langs]
+    staged = df.withColumn("_lt", F.transform(tokens(F.col(text_col)), F.lower))
+    def _hit(lang: str):
+        # factory, not a default-arg lambda: Spark's lambda builder counts
+        # every parameter (defaults included) when inferring arity
+        return lambda t: t.isin(*STOPWORDS[lang])
+
+    staged = staged.select(
+        "*",
+        *[
+            (
+                F.size(F.filter(F.col("_lt"), _hit(lang))).cast("double")
+                / F.greatest(F.size("_lt"), F.lit(1)).cast("double")
+            ).alias(rc)
+            for lang, rc in zip(langs, ratio_cols)
+        ],
+    )
+    pick = F.when(F.greatest(*[F.col(rc) for rc in ratio_cols]) == 0, F.lit("und"))
+    for i, (lang, rc) in enumerate(zip(langs, ratio_cols)):
+        rest = ratio_cols[i + 1 :]
+        cond = F.lit(True)
+        for other in rest:
+            cond = cond & (F.col(rc) >= F.col(other))
+        pick = pick.when(cond, F.lit(lang))
+    return staged.withColumn(out_col, pick).drop("_lt", *ratio_cols)
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic 128-bit document fingerprint over the normalized
     text (exact-dup detection key). md5 is chosen over xxhash64 here so
@@ -118,18 +157,23 @@ def shingles(col: Column, n: int = 5) -> Column:
 def minhash_from_shingles(sh: Column, n_hashes: int = 32) -> Column:
     """MinHash signature from a PRE-MATERIALIZED shingle-array column:
     array of n_hashes min-over-shingles xxhash64 values, each with a
-    distinct seed-salt. Pure Catalyst — no UDF, fully codegen'd. Pass a
-    real column, not the shingles() expression: the n lanes would each
-    re-evaluate the shingling subtree (no CSE across lanes)."""
-
-    def _hash_fn(seed: int):
-        # single-param lambda via factory: a default-arg lambda would have
-        # arity 2 and Spark's transform() would bind the ARRAY INDEX to the
-        # second param, silently collapsing all n hash functions into one
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    mins = [F.array_min(F.transform(sh, _hash_fn(i))) for i in range(n_hashes)]
-    return F.array(*mins)
+    distinct seed-salt. Pure Catalyst — no UDF. Single aggregate pass:
+    the acc is the running element-wise min of per-shingle hash lanes.
+    (The naive form — n_hashes separate array_min(transform(...)) lanes —
+    produces a generated-code source ~n_hashes x larger; Janino compile
+    time of that source dominated wall time on cold runs, and lambda
+    variable ids make the source unique per query so it never hits the
+    codegen cache.)"""
+    max_long = (1 << 63) - 1
+    return F.aggregate(
+        sh,
+        F.array_repeat(F.lit(max_long).cast("long"), n_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(n_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
 
 
 def minhash_signature(col: Column, n_hashes: int = 32, shingle_n: int = 5) -> Column:
@@ -139,39 +183,35 @@ def minhash_signature(col: Column, n_hashes: int = 32, shingle_n: int = 5) -> Co
 def simhash(col: Column, bits: int = 64) -> Column:
     """64-bit SimHash over whitespace tokens: per bit, sum of +/-1 votes
     from each token's xxhash64; bit set if the vote is positive.
-    Implemented with higher-order functions — one pass over tokens per
-    bit group via aggregate; no Python."""
-    toks = tokens(col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_cols = []
-    for b in range(bits):
-        # bit test via mask (shiftright doesn't accept lambda variables);
-        # bit 63 is the sign bit of the signed 64-bit hash
-        if b < 63:
-            mask = 1 << b
-            bit_set = lambda h, m=mask: h.bitwiseAND(F.lit(m)) != 0
-        else:
-            bit_set = lambda h: h < 0
-        def _merge(test):
-            # exactly-2-arg lambda: Spark's lambda builder counts every
-            # parameter (defaults included) when inferring arity
-            return lambda acc, h: acc + F.when(test(h), F.lit(1)).otherwise(F.lit(-1))
 
-        vote = F.aggregate(hashes, F.lit(0), _merge(bit_set))
-        if b < 63:
-            bit_cols.append(
-                F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-            )
-        else:
-            bit_cols.append(
-                F.when(vote > 0, F.lit(-(2**63)).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out
+    One aggregate pass over tokens accumulating all `bits` vote counters
+    at once (the per-bit-aggregate form generated 64 separate passes and
+    a generated-code source whose Janino compile dominated cold runs).
+    Bit b is tested by mask AND; bit 63's mask is the sign bit, which as
+    a signed long literal is -2^63.
+    """
+    masks = [1 << b for b in range(min(bits, 63))]
+    if bits == 64:
+        masks.append(-(1 << 63))
+    masks_lit = F.lit(masks)
+
+    def _step(acc: Column, t: Column) -> Column:
+        h = F.xxhash64(t)
+        return F.zip_with(
+            acc,
+            masks_lit,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    votes = F.aggregate(tokens(col), F.array_repeat(F.lit(0), len(masks)), _step)
+    # votes>0 -> set the bit; masks have disjoint bits so + acts as OR
+    return F.aggregate(
+        F.zip_with(
+            votes, masks_lit, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

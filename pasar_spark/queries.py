@@ -40,6 +40,24 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Rebalance rows across all cores before expression-heavy stages.
+
+    Small local parquet files scan as 1-2 input splits, so compute-bound
+    stages (higher-order functions are interpreted, not codegen'd) run
+    nearly single-threaded on a 32-core box. A cheap round-robin shuffle
+    of the raw rows is repaid many times over by parallelizing the
+    expensive per-row work. Guarded: when the scan already has >= cores
+    partitions (the 100 TB case — thousands of splits), this is a no-op,
+    so no extra shuffle appears in the at-scale plan.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def queries() -> dict[str, QueryFn]:
     return {k: v[0] for k, v in _REGISTRY.items()}
 

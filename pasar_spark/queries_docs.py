@@ -19,7 +19,7 @@ from pasar_spark.functions.similarity import (
     lsh_topk,
     minhash_lsh_pairs,
 )
-from pasar_spark.queries import load, register
+from pasar_spark.queries import load, register, spread
 
 _STOP_EN = "'the','and','of','to','a','in','is','it','for','on'"
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -38,7 +38,7 @@ _TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + char stats, all JVM-side (SURVEY.md §2.9)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         T.char_count(F.col("text")).alias("n_chars"),
@@ -60,7 +60,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score (length saturation + stopword ratio)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
 
 
@@ -98,10 +98,9 @@ _LANG_PRED_SQL = f"""
 def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram/stopword language ID confusion matrix vs the labeled lang.
     Tokenizes once into a column; the per-language scorers run over it."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return (
-        d.select("lang", T.tokens(F.col("text")).alias("_toks"))
-        .select("lang", T.lang_id_tokens(F.col("_toks")).alias("pred_lang"))
+        T.with_lang_id(d.select("lang", "text"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -130,6 +129,7 @@ def doc_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _with_copies(d: DataFrame) -> DataFrame:
+    d = spread(d)
     return d.select("doc_id", "text").unionByName(
         d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     )
@@ -253,7 +253,7 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (exact ANN baseline): left-fold dot
     product via zip_with/aggregate — identical IEEE evaluation order to
     the oracle's explicit 64-term sum."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     q = emb.where("vec_id < 20")
     return brute_force_topk(q, emb, k=3)
 
@@ -272,7 +272,7 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def emb_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-label average cosine — embedding-space clustering sanity."""
-    emb = load(spark, sf_dir, "embeddings").where("vec_id < 300")
+    emb = spread(load(spark, sf_dir, "embeddings").where("vec_id < 300"))
     a = emb.select(F.col("vec_id").alias("ia"), F.col("label"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("ib"), F.col("label").alias("lb"), F.col("embedding").alias("vb"))
     return (
@@ -292,7 +292,7 @@ def emb_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("knn_lsh_topk", None)
 def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (the 10^9-vector scale path)."""
-    emb = load(spark, sf_dir, "embeddings").where("vec_id < 200")
+    emb = spread(load(spark, sf_dir, "embeddings").where("vec_id < 200"))
     return lsh_topk(emb, k=3, n_planes=6)
 
 
