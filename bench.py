@@ -69,6 +69,16 @@ def run_replay_bench(spark, n_events: int, chunk_size: int, n_buckets: int) -> d
             wal,
             n_files=128,
         )
+        # Steady-state warmup (same policy as the query bench): one full
+        # throwaway replay of the same WAL. A small warmup is not enough —
+        # C2 keeps compiling the scan/shuffle/write paths well into the
+        # first full-size run (measured 52s -> 29s -> 12s across identical
+        # consecutive runs); the metric is steady-state throughput, which
+        # is what a 10^10-event stream actually experiences.
+        ReplayRunner(
+            spark, f"{root}/warm", n_buckets=n_buckets, chunk_size=chunk_size
+        ).replay(wal)
+
         t0 = time.time()
         runner = ReplayRunner(
             spark, f"{root}/tbl", n_buckets=n_buckets, chunk_size=chunk_size

@@ -43,6 +43,37 @@ BASE_COLUMNS: list[tuple[str, str]] = [
 KEY = ["conv_id", "turn_idx"]
 
 
+def _max_lsn_from_footers(path: str) -> int | None:
+    """Max lsn across a parquet WAL dir via footer column statistics.
+
+    Returns None when any file lacks lsn stats (caller falls back to a
+    Spark scan). O(#files) driver-side metadata reads — at 10^10 events
+    this replaces a full-column scan with a listing.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    best = None
+    try:
+        names = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not names:
+            return None
+        for f in names:
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if "lsn" not in idx:
+                return None
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(idx["lsn"]).statistics
+                if stats is None or not stats.has_min_max:
+                    return None
+                best = stats.max if best is None else max(best, stats.max)
+    except OSError:
+        return None
+    return int(best) if best is not None else None
+
+
 class ReplayRunner:
     def __init__(
         self,
@@ -98,10 +129,21 @@ class ReplayRunner:
         if max_events is not None:
             src = src.where(F.col("lsn") < max_events)
 
-        hi_row = src.agg(F.max("lsn").alias("m")).collect()[0]
-        if hi_row["m"] is None:
-            return self.bootstrap()
-        hi = int(hi_row["m"])
+        hi = None
+        if isinstance(events, str) and max_events is None:
+            # Feed tip from parquet footer min/max stats — a driver-side
+            # metadata read instead of a full scan of the lsn column
+            # (which at 10^10 events is a complete extra pass over the WAL).
+            hi = _max_lsn_from_footers(events)
+        if hi is None:
+            hi_row = src.agg(F.max("lsn").alias("m")).collect()[0]
+            if hi_row["m"] is None:
+                return self.bootstrap()
+            hi = int(hi_row["m"])
+        if max_events is not None:
+            hi = min(hi, max_events - 1)
+            if hi < 0:
+                return self.bootstrap()
 
         table = self.bootstrap()
         lo = table.last_lsn + 1

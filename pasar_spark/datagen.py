@@ -187,4 +187,6 @@ def write_change_log(
     etl/pypasar/omop/measurement.py:124-145, without the O(n^2) re-scan).
     """
     out = df.repartitionByRange(n_files, "lsn") if order_by_lsn else df.repartition(n_files)
-    out.write.mode("overwrite").parquet(path)
+    # snappy: a binlog/WAL is a write-rate-bound, short-lived stream —
+    # encode speed beats compression ratio (zstd measured 2x slower here)
+    out.write.mode("overwrite").option("compression", "snappy").parquet(path)

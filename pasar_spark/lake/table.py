@@ -248,7 +248,14 @@ class LakeTable:
         out = df.select(*phys, F.col("_bucket")).repartition(
             self.manifest["n_buckets"], F.col("_bucket")
         )
-        out.write.mode("errorifexists").partitionBy("_bucket").parquet(out_dir)
+        # Codec is the throughput/storage dial: snappy encodes ~2x faster
+        # than zstd (measured on the transcript payload) and the replay
+        # metric is events/sec; flip PASAR_PARQUET_CODEC=zstd when storage
+        # footprint matters more than ingest rate.
+        codec = os.environ.get("PASAR_PARQUET_CODEC", "snappy")
+        out.write.mode("errorifexists").option("compression", codec).partitionBy(
+            "_bucket"
+        ).parquet(out_dir)
         import pyarrow.parquet as pq
 
         new_files: dict[str, list[dict]] = {}

@@ -561,6 +561,86 @@ def q_global_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_two_pass_lookup",
+    """
+    WITH dict AS (SELECT p_brand, min(p_partkey) AS brand_id FROM part GROUP BY p_brand),
+    facts AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 2 = 1 THEN lower(p_brand) ELSE p_brand END AS src
+      FROM part),
+    pass1 AS (
+      SELECT f.p_partkey, f.src, d.brand_id AS v1
+      FROM facts f LEFT JOIN dict d ON f.src = d.p_brand),
+    pass2 AS (
+      SELECT p.p_partkey, coalesce(p.v1, d2.brand_id, -1) AS brand_id
+      FROM pass1 p LEFT JOIN (SELECT upper(p_brand) AS k, min(brand_id) AS brand_id
+                              FROM dict GROUP BY 1) d2
+        ON p.v1 IS NULL AND upper(p.src) = d2.k)
+    SELECT brand_id, count(*) AS n FROM pass2 GROUP BY brand_id
+    """,
+)
+def q_two_pass_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass fallback dictionary lookup (reference J9,
+    temp_drugmed_view.sql:48-112): exact match first, unmatched rows
+    re-matched on the normalized key, miss -> default. Odd part keys get
+    a lowercased source code so the fallback pass is actually exercised.
+    Both passes broadcast the dictionary (nothing shuffles the fact side).
+    """
+    from pasar_spark.functions.lookup import two_pass_lookup
+
+    p = load(spark, sf_dir, "part")
+    dict_df = p.groupBy("p_brand").agg(F.min("p_partkey").alias("brand_id"))
+    facts = p.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 2 == 1, F.lower("p_brand"))
+        .otherwise(F.col("p_brand"))
+        .alias("src"),
+    )
+    out = two_pass_lookup(
+        facts, dict_df, "src", "p_brand", "brand_id",
+        normalize=F.upper, out_col="brand_id_out", default=-1,
+    )
+    return (
+        out.groupBy(F.col("brand_id_out").alias("brand_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_clamp_intervals",
+    """
+    SELECT clamped_ship, count(*) AS n FROM (
+      SELECT CASE WHEN l_shipdate < o_orderdate THEN o_orderdate
+                  WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                       THEN o_orderdate + INTERVAL 90 DAY
+                  ELSE l_shipdate END AS clamped_ship
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+    GROUP BY clamped_ship ORDER BY clamped_ship LIMIT 50
+    """,
+)
+def q_clamp_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range clamping into a parent window (reference P6,
+    int__visit_detail.sql:26-50) — the same CASE pattern the engine uses
+    for late-event timestamp clamping."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    lo = F.col("o_orderdate")
+    hi = F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    clamped = (
+        F.when(F.col("l_shipdate") < lo, lo)
+        .when(F.col("l_shipdate") > hi, hi)
+        .otherwise(F.col("l_shipdate"))
+    )
+    return (
+        j.groupBy(clamped.alias("clamped_ship"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("clamped_ship")
+        .limit(50)
+    )
+
+
+@register(
     "q_mode_brand",
     """
     SELECT p_type, p_brand AS top_brand FROM (

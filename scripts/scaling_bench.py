@@ -40,7 +40,7 @@ if master.startswith("local-cluster"):
     # real separate executor JVMs — the honest emulation of a
     # multi-executor cluster on one box (ship the engine code like
     # spark-submit --py-files would)
-    extra["spark.executor.memory"] = "3g"
+    extra["spark.executor.memory"] = os.environ.get("PASAR_SCALING_EXEC_MEM", "6g")
 spark = get_spark("scaling-%d" % cores, master=master,
                   shuffle_partitions=cores * 2, extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
@@ -50,16 +50,43 @@ if master.startswith("local-cluster"):
                             root_dir={repo!r}, base_dir="pasar_spark")
     spark.sparkContext.addPyFile(z)
 mode = os.environ.get("PASAR_SCALING_MODE", "mor")
+reps = int(os.environ.get("PASAR_SCALING_REPS", "2"))
+# Box-ceiling calibration: an embarrassingly parallel, codegen'd,
+# zero-IO aggregation. Whatever speedup THIS gets from N->4N is the most
+# any Spark job can get on this box (virtualized CPUs do not deliver 4x
+# capacity for 4x threads); the engine's efficiency is reported both raw
+# and relative to this ceiling.
+cal_df = spark.range(0, 2_000_000_000, 1, cores * 4)
+cal_q = "sum(xxhash64(id) % 1000)"
+cal_df.selectExpr(cal_q).collect()
+cal_best = None
+for _ in range(3):
+    t0 = time.time()
+    cal_df.selectExpr(cal_q).collect()
+    dt = time.time() - t0
+    cal_best = dt if cal_best is None else min(cal_best, dt)
 # Warmup pass on a throwaway table: JIT-compile the codegen stages and
 # warm the page cache, so the measured pass reflects steady-state
 # throughput (what a long 10^10-event replay runs at), not cold-start.
+# Then best-of-R measured passes (box-noise guard; same policy both
+# parallelism levels, so the efficiency ratio is noise-robust).
+import shutil as _sh
 ReplayRunner(spark, table_path + ".warmup", n_buckets=64, chunk_size=chunk,
              merge_mode=mode).replay(wal)
-t0 = time.time()
-table = ReplayRunner(spark, table_path, n_buckets=64, chunk_size=chunk,
-                     merge_mode=mode).replay(wal)
-elapsed = time.time() - t0
+_sh.rmtree(table_path + ".warmup", ignore_errors=True)
+elapsed = None
+table = None
+for rep in range(reps):
+    tp = f"{{table_path}}.r{{rep}}"
+    t0 = time.time()
+    table = ReplayRunner(spark, tp, n_buckets=64, chunk_size=chunk,
+                         merge_mode=mode).replay(wal)
+    dt = time.time() - t0
+    elapsed = dt if elapsed is None else min(elapsed, dt)
+    if rep < reps - 1:
+        _sh.rmtree(tp, ignore_errors=True)
 print(json.dumps({{"cores": cores, "master": master, "wall_sec": elapsed,
+                   "reps": reps, "calibration_wall_sec": round(cal_best, 3),
                    "last_lsn": table.last_lsn, "metrics": table.metrics}}))
 spark.stop()
 """
@@ -85,8 +112,11 @@ def run_py(code: str, *args: str) -> str:
         path = f.name
     try:
         out = subprocess.run(
-            [sys.executable, path, *args], capture_output=True, text=True, check=True
+            [sys.executable, path, *args], capture_output=True, text=True
         )
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise RuntimeError(f"worker failed (exit {out.returncode})")
         lines = out.stdout.strip().splitlines()
         return lines[-1] if lines else ""
     finally:
@@ -104,12 +134,16 @@ def main():
     # only observable when per-chunk compute dominates them
     chunk = max(n_events // 2, 1_000_000)
 
+    exec_mem_mb = int(os.environ.get("PASAR_SCALING_EXEC_MEM", "6g").rstrip("g")) * 1024
+
     def master_for(workers: int) -> tuple[str, int]:
         if topology == "cluster":
             # N vs 4N separate EXECUTOR JVMs, 4 cores each — matches the
             # north rule's executor-count criterion; single-JVM local[n]
-            # understates scaling (shared-JVM contention, measured)
-            return f"local-cluster[{workers},4,3072]", workers * 4
+            # understates scaling (shared-JVM contention, measured).
+            # Worker memory in the master string must cover the executor
+            # heap or executors silently fail to launch.
+            return f"local-cluster[{workers},4,{exec_mem_mb + 1024}]", workers * 4
         return f"local[{workers}]", workers
 
     root = tempfile.mkdtemp(prefix="pasar_scaling_")
@@ -127,6 +161,10 @@ def main():
             results[str(workers)] = r
         thr_n = results[str(n_small)]["events_per_sec"]
         thr_4n = results[str(n_big)]["events_per_sec"]
+        speedup = thr_4n / thr_n
+        cal_n = results[str(n_small)]["calibration_wall_sec"]
+        cal_4n = results[str(n_big)]["calibration_wall_sec"]
+        box_speedup = cal_n / cal_4n
         report = {
             "n_events": n_events,
             "topology": topology,
@@ -134,8 +172,13 @@ def main():
             "4N_executors": n_big,
             "events_per_sec_N": thr_n,
             "events_per_sec_4N": thr_4n,
-            "speedup": round(thr_4n / thr_n, 3),
-            "scaling_efficiency": round(thr_4n / thr_n / 4, 3),
+            "speedup": round(speedup, 3),
+            "scaling_efficiency": round(speedup / 4, 3),
+            # what a zero-IO embarrassingly parallel codegen'd agg gets
+            # from the same N->4N on this box — the hardware ceiling
+            "box_ceiling_speedup": round(box_speedup, 3),
+            "box_ceiling_efficiency": round(box_speedup / 4, 3),
+            "efficiency_vs_box_ceiling": round(speedup / box_speedup, 3),
             "detail": results,
         }
         print(json.dumps(report))
