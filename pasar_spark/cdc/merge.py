@@ -202,39 +202,87 @@ def merge_batch(
 
 
 def compact_buckets(
-    table: LakeTable, min_files: int = 8, buckets: list[str] | None = None
+    table: LakeTable,
+    min_files: int = 8,
+    buckets: list[str] | None = None,
+    policy: str = "tiered",  # 'tiered' (LSM-style) | 'full'
+    major_ratio: float = 1.0,
 ) -> tuple[LakeTable, dict]:
-    """Fold MoR delta files back into one resolved file set per bucket.
+    """Fold MoR delta files; bounds read amplification to ``min_files``.
 
-    Picks buckets whose file count reached ``min_files`` (bounds the read
-    amplification of merge-on-read to that factor); the rewrite reuses
-    table.read's LWW resolution, so compaction is just read+write+swap.
-    Tombstones are KEPT — they still guard against resurrection by
-    out-of-order stragglers; vacuum_tombstones drops them once the feed
-    is past the out-of-order horizon."""
-    counts = table.bucket_file_counts()
-    todo = (
-        [str(b) for b in buckets]
-        if buckets is not None
-        else [b for b, c in counts.items() if c >= min_files]
-    )
-    todo = [b for b in todo if b in set(table.manifest.get("unresolved", []))]
+    policy='tiered' (the 10^10-event path): when a bucket's delta file
+    count reaches ``min_files``, fold ONLY the deltas into one delta
+    (minor compaction, O(deltas) write) — unless the folded deltas have
+    grown to ``major_ratio`` x the base row count, in which case rewrite
+    the whole bucket (major compaction, resolves it). Like an LSM tree,
+    each row is rewritten O(log) times over the table's life instead of
+    O(table/chunk) times under full-rewrite-every-K-chunks.
+
+    policy='full': always rewrite the whole bucket (the pre-tiered
+    behavior; simplest read path).
+
+    Both policies reuse the LWW reduce, so any interleaving of minor and
+    major compactions yields the same final state (associativity —
+    property-tested). Tombstones are KEPT: they still guard against
+    resurrection by out-of-order stragglers; vacuum_tombstones drops
+    them past the out-of-order horizon."""
+    unresolved = set(table.manifest.get("unresolved", []))
+    if buckets is not None:
+        todo = [str(b) for b in buckets if str(b) in unresolved]
+    else:
+        todo = [
+            b
+            for b in unresolved
+            if len(table.bucket_entries(b, kind="delta")) >= min_files
+        ]
     if not todo:
-        return table, {"compacted_buckets": 0}
-    data = table.read(buckets=todo, include_tombstones=True).withColumn(
-        "_bucket", table.bucket_expr()
-    )
-    commit_id = table.new_commit_id()
-    new_files = table.write_files(data, commit_id)
-    delta = {"compacted_buckets": len(todo)}
-    table = table.commit_merge(
-        replaced_buckets=todo,
-        new_files=new_files,
-        batch_id=f"compact-v{table.version}",
-        metrics_delta=delta,
-        tag=f"compact-v{table.version}",
-    )
-    return table, delta
+        return table, {"compacted_buckets": 0, "minor_compacted_buckets": 0}
+
+    key = table.manifest["key"]
+    order = table.manifest.get("resolve_order", ["ts", "lsn"])
+    payload = [c for c in table.schema.names() if c not in set(key) | set(order)]
+
+    major, minor = [], []
+    for b in todo:
+        base_rows = sum(e.get("rows", 0) for e in table.bucket_entries(b, kind="base"))
+        delta_rows = sum(e.get("rows", 0) for e in table.bucket_entries(b, kind="delta"))
+        if policy == "full" or base_rows == 0 or delta_rows >= major_ratio * base_rows:
+            major.append(b)
+        else:
+            minor.append(b)
+
+    delta_metrics = {"compacted_buckets": len(major), "minor_compacted_buckets": len(minor)}
+
+    if minor:
+        entries = [e for b in minor for e in table.bucket_entries(b, kind="delta")]
+        deltas = table._read_entries(entries)
+        folded = lww_reduce(deltas, key=key, order=order, payload=payload)
+        folded = folded.select(*table.schema.names()).withColumn(
+            "_bucket", table.bucket_expr()
+        )
+        commit_id = table.new_commit_id()
+        new_files = table.write_files(folded, commit_id)
+        table = table.commit_replace_deltas(
+            new_files,
+            batch_id=f"compact-minor-v{table.version}",
+            metrics_delta=delta_metrics if not major else None,
+            tag=f"compact-minor-v{table.version}",
+        )
+
+    if major:
+        data = table.read(buckets=major, include_tombstones=True).withColumn(
+            "_bucket", table.bucket_expr()
+        )
+        commit_id = table.new_commit_id()
+        new_files = table.write_files(data, commit_id)
+        table = table.commit_merge(
+            replaced_buckets=major,
+            new_files=new_files,
+            batch_id=f"compact-v{table.version}",
+            metrics_delta=delta_metrics,
+            tag=f"compact-v{table.version}",
+        )
+    return table, delta_metrics
 
 
 def vacuum_tombstones(table: LakeTable, horizon_lsn: int) -> tuple[LakeTable, dict]:

@@ -203,13 +203,21 @@ class LakeTable:
     def _read_files(self, bucket_ids: list[str]) -> DataFrame | None:
         """Union the files of the given buckets at the current logical
         schema (per-written-schema groups, field-id mapped)."""
+        entries = [
+            e for b in bucket_ids for e in self.manifest["buckets"].get(b, [])
+        ]
+        return self._read_entries(entries)
+
+    def _read_entries(self, entries: list[dict]) -> DataFrame | None:
+        """Read an explicit manifest-entry subset at the current logical
+        schema — the tiered-compaction path reads only a bucket's delta
+        files, never the base."""
         cur = self.schema
         by_schema: dict[int, list[str]] = {}
-        for b in bucket_ids:
-            for entry in self.manifest["buckets"].get(b, []):
-                by_schema.setdefault(entry["schema_id"], []).append(
-                    os.path.join(self.path, entry["path"])
-                )
+        for entry in entries:
+            by_schema.setdefault(entry["schema_id"], []).append(
+                os.path.join(self.path, entry["path"])
+            )
         parts: list[DataFrame] = []
         for sid, paths in by_schema.items():
             written = self._schema_at(sid)
@@ -297,6 +305,8 @@ class LakeTable:
         unresolved = set(m.get("unresolved", []))
         unresolved -= {str(b) for b in replaced_buckets}
         for b, entries in new_files.items():
+            for e in entries:
+                e["kind"] = "base"  # fully LWW-resolved rewrite
             m["buckets"][b] = entries
         m["unresolved"] = sorted(unresolved)
         led = m["ledger"]
@@ -324,6 +334,8 @@ class LakeTable:
         m = json.loads(json.dumps(self.manifest))
         unresolved = set(m.get("unresolved", []))
         for b, entries in new_files.items():
+            for e in entries:
+                e["kind"] = "delta"  # may hold >1 version per key vs base
             m["buckets"].setdefault(b, [])
             m["buckets"][b] = m["buckets"][b] + entries
             unresolved.add(b)
@@ -337,6 +349,39 @@ class LakeTable:
         for k, v in (metrics_delta or {}).items():
             m["metrics"][k] = m["metrics"].get(k, 0) + v
         return self._commit(m, tag=tag or f"batch-{batch_id}")
+
+    def commit_replace_deltas(
+        self,
+        new_files: dict[str, list[dict]],
+        batch_id: str,
+        metrics_delta: dict | None = None,
+        tag: str | None = None,
+    ) -> "LakeTable":
+        """Minor (tiered) compaction commit: swap a bucket's DELTA files
+        for one folded delta, keeping the base file and the unresolved
+        flag (reads still LWW-resolve base vs delta). Write cost is
+        O(deltas) — never O(bucket) — which keeps total write
+        amplification logarithmic over a long replay instead of the
+        quadratic full-rewrite-every-K-chunks of major-only compaction."""
+        m = json.loads(json.dumps(self.manifest))
+        for b, entries in new_files.items():
+            for e in entries:
+                e["kind"] = "delta"
+            kept = [e for e in m["buckets"].get(b, []) if e.get("kind", "base") == "base"]
+            m["buckets"][b] = kept + entries
+        led = m["ledger"]
+        if batch_id in led["batch_ids"]:
+            raise CommitConflict(f"batch {batch_id} already committed")
+        led["batch_ids"] = (led["batch_ids"] + [batch_id])[-256:]
+        for k, v in (metrics_delta or {}).items():
+            m["metrics"][k] = m["metrics"].get(k, 0) + v
+        return self._commit(m, tag=tag or f"batch-{batch_id}")
+
+    def bucket_entries(self, bucket: str, kind: str | None = None) -> list[dict]:
+        entries = self.manifest["buckets"].get(str(bucket), [])
+        if kind is None:
+            return entries
+        return [e for e in entries if e.get("kind", "base") == kind]
 
     def bucket_file_counts(self) -> dict[str, int]:
         return {b: len(fs) for b, fs in self.manifest["buckets"].items()}
