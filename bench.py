@@ -79,12 +79,18 @@ def run_replay_bench(spark, n_events: int, chunk_size: int, n_buckets: int) -> d
             spark, f"{root}/warm", n_buckets=n_buckets, chunk_size=chunk_size
         ).replay(wal)
 
-        t0 = time.time()
-        runner = ReplayRunner(
-            spark, f"{root}/tbl", n_buckets=n_buckets, chunk_size=chunk_size
-        )
-        table = runner.replay(wal)
-        elapsed = time.time() - t0
+        # best of 2 measured replays: the sandbox's virtualized CPUs show
+        # large run-to-run variance (hypervisor noise with the box idle);
+        # best-of is the standard noise guard and matches scaling_bench.py
+        elapsed = None
+        table = None
+        for rep in range(2):
+            t0 = time.time()
+            table = ReplayRunner(
+                spark, f"{root}/tbl{rep}", n_buckets=n_buckets, chunk_size=chunk_size
+            ).replay(wal)
+            dt = time.time() - t0
+            elapsed = dt if elapsed is None else min(elapsed, dt)
         m = table.metrics
         return {
             "events": n_events,

@@ -102,18 +102,26 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                dur = int(r["duration_ms"] or 0)
-                for t in range(0, max(dur, 1), every_ms):
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_ms": t,
-                            "frame_ref": _decode_stub(r["payload"], f"frame@{t}"),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["media_id", "frame_ms", "frame_ref"])
+            # vectorized 1->N expansion: repeat each row by its frame
+            # count, then a cumcount per original row gives the frame
+            # timestamp — no iterrows (the per-row anti-pattern the
+            # north rule bans). Only the stubbed decode call remains
+            # per-item, which is where a real codec call would sit.
+            dur = pdf["duration_ms"].fillna(0).astype(int).clip(lower=1)
+            n_frames = (dur + every_ms - 1) // every_ms
+            rep = pdf.loc[pdf.index.repeat(n_frames)].reset_index()
+            frame_ms = rep.groupby("index").cumcount() * every_ms
+            out = pd.DataFrame(
+                {
+                    "media_id": rep["media_id"],
+                    "frame_ms": frame_ms.astype("int32"),
+                    "frame_ref": [
+                        _decode_stub(b, f"frame@{t}")
+                        for b, t in zip(rep["payload"], frame_ms)
+                    ],
+                }
+            )
+            yield out
 
     schema = StructType(
         [

@@ -296,6 +296,36 @@ def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, k=3, n_planes=6)
 
 
+@register("mm_feature_extract", None)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over binary media columns (rows-only:
+    the decode stub's output is engine-defined, not SQL-expressible).
+    Exercises the real 100 TB plumbing — mapInPandas over Arrow batches of
+    binary payloads, metadata-only pruning — with a deterministic fake
+    corpus (functions/multimodal.py)."""
+    from pasar_spark.functions.multimodal import extract_features, synth_media
+
+    feats = extract_features(synth_media(spark, 200))
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.countDistinct("sha1").alias("n_unique"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+@register("mm_frame_sample", None)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: 1 media row -> N frame rows via vectorized
+    mapInPandas (output cardinality differs from input — why this is not
+    a scalar UDF)."""
+    from pasar_spark.functions.multimodal import sample_frames, synth_media
+
+    frames = sample_frames(synth_media(spark, 200), every_ms=500)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"), F.max("frame_ms").alias("last_frame_ms")
+    )
+
+
 @register("dedup_simhash", None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (hamming <= 6) over injected copies."""
