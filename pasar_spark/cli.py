@@ -67,6 +67,20 @@ def cmd_gen(args) -> int:
     return 0
 
 
+def _load_evolution_plan(path: str | None):
+    """JSON file: {"1": [["add", "sentiment", "string"]], "2": [...]} —
+    feed schema_ver -> ordered DDL ops (see cdc/schema_evolution.py)."""
+    from pasar_spark.cdc.schema_evolution import EvolutionPlan
+
+    if not path:
+        return None
+    with open(path) as fh:
+        raw = json.load(fh)
+    return EvolutionPlan(
+        steps={int(v): [tuple(op) for op in ops] for v, ops in raw.items()}
+    )
+
+
 def cmd_ingest(args) -> int:
     from pasar_spark.cdc.runner import ReplayRunner
 
@@ -79,6 +93,7 @@ def cmd_ingest(args) -> int:
         merge_mode=args.mode,
         normalizer=args.normalizer,
         compact_min_files=args.compact_min_files,
+        evolution_plan=_load_evolution_plan(args.evolution_plan),
     )
     t = runner.replay(args.wal, max_events=args.max_events)
     print(json.dumps({"table": args.table, "last_lsn": t.last_lsn, "metrics": t.metrics}))
@@ -168,6 +183,11 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--mode", choices=["mor", "cow"], default="mor")
     i.add_argument("--normalizer", choices=["arrow", "native", "none"], default="arrow")
     i.add_argument("--compact-min-files", type=int, default=8)
+    i.add_argument(
+        "--evolution-plan",
+        default=None,
+        help='JSON file: {"<schema_ver>": [["add","col","type"], ...]} applied when the feed reaches that version',
+    )
     i.set_defaults(fn=cmd_ingest)
 
     s = sub.add_parser("stream", help="drain the WAL via Structured Streaming (availableNow)")

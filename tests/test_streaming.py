@@ -48,3 +48,28 @@ def test_stream_matches_batch_and_resumes(spark, tmp_path):
     v = t2.version
     t3 = ingest.run_available_now()
     assert _state(t3) == _state(t2)
+
+
+def test_epoch_redelivery_is_noop(spark, tmp_path):
+    """foreachBatch may redeliver an epoch after a crash between our
+    snapshot commit and the streaming checkpoint commit; the ledger's
+    batch id ("stream-<epoch>") must make the second application a no-op
+    — the exactly-once composition argument in streaming/stream.py."""
+    from pasar_spark.lake.table import LakeTable
+
+    wal = str(tmp_path / "wal")
+    write_change_log(change_events(spark, 3_000, n_convs=50, seed=31), wal, n_files=2)
+    ingest = StreamingIngest(
+        spark, str(tmp_path / "tbl"), wal,
+        checkpoint_path=str(tmp_path / "ckpt"), n_buckets=4,
+    )
+    ingest.bootstrap()
+    batch = spark.read.parquet(wal)
+    ingest._apply_epoch(batch, epoch_id=0)
+    t1 = LakeTable.load(spark, str(tmp_path / "tbl"))
+    state1, v1 = _state(t1), t1.version
+
+    ingest._apply_epoch(batch, epoch_id=0)  # redelivery
+    t2 = LakeTable.load(spark, str(tmp_path / "tbl"))
+    assert t2.version == v1          # no new snapshot
+    assert _state(t2) == state1      # no state change
