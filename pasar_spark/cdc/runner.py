@@ -43,35 +43,46 @@ BASE_COLUMNS: list[tuple[str, str]] = [
 KEY = ["conv_id", "turn_idx"]
 
 
-def _max_lsn_from_footers(path: str) -> int | None:
-    """Max lsn across a parquet WAL dir via footer column statistics.
+def _lsn_file_stats(path: str) -> list[tuple[str, int, int]] | None:
+    """Per-file (path, min_lsn, max_lsn) from parquet footer statistics.
 
-    Returns None when any file lacks lsn stats (caller falls back to a
-    Spark scan). O(#files) driver-side metadata reads — at 10^10 events
-    this replaces a full-column scan with a listing.
+    Returns None when any file lacks lsn stats (callers fall back to a
+    full-dir Spark scan). O(#files) driver-side metadata reads.
     """
     import os
 
     import pyarrow.parquet as pq
 
-    best = None
+    out = []
     try:
         names = [f for f in os.listdir(path) if f.endswith(".parquet")]
         if not names:
             return None
         for f in names:
-            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            full = os.path.join(path, f)
+            md = pq.ParquetFile(full).metadata
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             if "lsn" not in idx:
                 return None
+            f_min = f_max = None
             for rg in range(md.num_row_groups):
                 stats = md.row_group(rg).column(idx["lsn"]).statistics
                 if stats is None or not stats.has_min_max:
                     return None
-                best = stats.max if best is None else max(best, stats.max)
+                f_min = stats.min if f_min is None else min(f_min, stats.min)
+                f_max = stats.max if f_max is None else max(f_max, stats.max)
+            out.append((full, int(f_min), int(f_max)))
     except OSError:
         return None
-    return int(best) if best is not None else None
+    return out
+
+
+def _max_lsn_from_footers(path: str) -> int | None:
+    """Feed tip via footer stats — a metadata read, not a column scan."""
+    stats = _lsn_file_stats(path)
+    if not stats:
+        return None
+    return max(hi for _, _, hi in stats)
 
 
 class ReplayRunner:
@@ -129,12 +140,15 @@ class ReplayRunner:
         if max_events is not None:
             src = src.where(F.col("lsn") < max_events)
 
+        # Per-file lsn ranges (one driver-side metadata pass): gives the
+        # feed tip without a column scan AND lets each chunk list only
+        # its overlapping WAL files — at 10^10 events a chunk would
+        # otherwise schedule one (empty) scan task per non-matching file.
+        file_stats = _lsn_file_stats(events) if isinstance(events, str) else None
+
         hi = None
-        if isinstance(events, str) and max_events is None:
-            # Feed tip from parquet footer min/max stats — a driver-side
-            # metadata read instead of a full scan of the lsn column
-            # (which at 10^10 events is a complete extra pass over the WAL).
-            hi = _max_lsn_from_footers(events)
+        if file_stats and max_events is None:
+            hi = max(h for _, _, h in file_stats)
         if hi is None:
             hi_row = src.agg(F.max("lsn").alias("m")).collect()[0]
             if hi_row["m"] is None:
@@ -151,7 +165,19 @@ class ReplayRunner:
         while lo <= hi:
             chunk_hi = min(lo + self.chunk_size - 1, hi)
             batch_id = f"lsn-{lo}-{chunk_hi}"
-            chunk = src.where((F.col("lsn") >= lo) & (F.col("lsn") <= chunk_hi))
+            chunk_src = src
+            if file_stats:
+                overlapping = [
+                    p for p, f_lo, f_hi in file_stats
+                    if f_hi >= lo and f_lo <= chunk_hi
+                ]
+                if overlapping:
+                    chunk_src = self.spark.read.parquet(*overlapping)
+                    if max_events is not None:
+                        chunk_src = chunk_src.where(F.col("lsn") < max_events)
+            chunk = chunk_src.where(
+                (F.col("lsn") >= lo) & (F.col("lsn") <= chunk_hi)
+            )
 
             if not table.has_batch(batch_id):
                 if self.evolution_plan.steps:

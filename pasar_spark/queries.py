@@ -561,6 +561,38 @@ def q_global_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_csv_roundtrip",
+    """
+    SELECT n_regionkey, count(*) AS n, min(n_name) AS first_nation
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV bulk source (reference S4: tab-separated, quoted vocab loads,
+    concept.py:38-56): write the nation dim to TSV, read it back with an
+    explicit schema (never inferred), aggregate. The oracle computes the
+    same aggregate from parquet — equality proves the round-trip is
+    lossless."""
+    import tempfile
+
+    n = load(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="pasar_csv_") + "/nation_tsv"
+    n.write.mode("overwrite").option("sep", "\t").option("header", True).option(
+        "quote", '"'
+    ).csv(path)
+    back = (
+        spark.read.schema(n.schema)
+        .option("sep", "\t")
+        .option("header", True)
+        .option("quote", '"')
+        .csv(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n"), F.min("n_name").alias("first_nation")
+    )
+
+
+@register(
     "q_two_pass_lookup",
     """
     WITH dict AS (SELECT p_brand, min(p_partkey) AS brand_id FROM part GROUP BY p_brand),
