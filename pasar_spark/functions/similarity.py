@@ -150,6 +150,84 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-Flat approximate top-k cosine neighbors.
+
+    Classic inverted-file ANN: (1) train a coarse k-means quantizer
+    (seeded, deterministic); (2) assign every corpus vector to its
+    nearest centroid cell; (3) for each query, probe its ``n_probe``
+    nearest cells; (4) exact cosine rank within the probed candidates.
+
+    Scale shape (10^9 vectors): the quantizer trains on a sample, cell
+    assignment is one map pass, and the candidate join is a cell-id
+    equi-join — one shuffle per side, no cross join. The centroid table
+    (n_cells x dim floats) broadcasts.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    feat = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_feat", predictionCol="_cell").fit(
+        feat
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    assigned = model.transform(feat).select("vec_id", "_v", "_cell")
+
+    # each query probes its n_probe nearest cells: distance to every
+    # centroid is a small literal-array expression (n_cells x dim), then
+    # explode the top-n_probe cell ids
+    def _dist2(c: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col("_v"), F.lit(c), lambda x, w: (x.cast("double") - w) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cell_structs = F.array(*[
+        F.struct(_dist2(c).alias("d"), F.lit(i).alias("cell"))
+        for i, c in enumerate(centroids)
+    ])
+    probes = assigned.select(
+        "vec_id",
+        "_v",
+        F.explode(
+            F.slice(F.array_sort(cell_structs), 1, n_probe)
+        ).alias("_p"),
+    ).select("vec_id", "_v", F.col("_p.cell").alias("_cell"))
+
+    cand = probes.join(
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("_v").alias("_w"),
+            F.col("_cell"),
+        ),
+        ["_cell"],
+    ).where(F.col("vec_id") != F.col("neighbor_id"))
+    scored = cand.withColumn("cos_sim", cosine(F.col("_v"), F.col("_w"))).dropDuplicates(
+        ["vec_id", "neighbor_id"]
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

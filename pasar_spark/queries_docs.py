@@ -296,6 +296,42 @@ def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, k=3, n_planes=6)
 
 
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_dot_sql('a.embedding', 'b.embedding')}
+                 / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}), 6) AS cos_sim
+    FROM (SELECT * FROM embeddings WHERE vec_id < 300) a
+    JOIN (SELECT * FROM embeddings WHERE vec_id < 300) b ON a.vec_id < b.vec_id
+    WHERE {_dot_sql('a.embedding', 'b.embedding')}
+          / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4 — the synthetic embeddings are near-orthogonal random vectors, max pairwise cosine ~0.46, so 0.4 yields a small deterministic pair set) — the exact
+    all-pairs small-scale twin; the scale path is the hyperplane-LSH
+    bucketing of knn_lsh_topk (no cross join at 10^9 vectors)."""
+    from pasar_spark.functions.similarity import embedding_near_dups
+
+    emb = spread(load(spark, sf_dir, "embeddings").where("vec_id < 300"))
+    return embedding_near_dups(emb, threshold=0.4).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cos_sim"
+    )
+
+
+@register("knn_ivf_topk", None)
+def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: coarse k-means quantizer (pyspark.ml,
+    seeded), candidates restricted to the query's nearest n_probe
+    centroids, exact cosine rank within candidates — the classic
+    IVF-Flat shape. Rows-only: results depend on the trained quantizer."""
+    from pasar_spark.functions.similarity import ivf_topk
+
+    emb = spread(load(spark, sf_dir, "embeddings").where("vec_id < 500"))
+    return ivf_topk(emb, k=3, n_cells=8, n_probe=2)
+
+
 @register("mm_feature_extract", None)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over binary media columns (rows-only:
