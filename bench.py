@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "knn_cosine_topk",
     "knn_lsh_topk",
+    "knn_ivf_topk",
 ]
 
 

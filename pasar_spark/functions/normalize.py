@@ -37,10 +37,16 @@ NORMALIZE_SQL = "nfc_normalize(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
 def normalize_text(s: pd.Series) -> pd.Series:
     # Vectorized pandas string ops over Arrow batches (zero-copy transfer).
     out = s.str.replace(r"\s+", " ", regex=True).str.strip()
-    # NFC: pandas has no vectorized normalizer; unicodedata.normalize via
-    # Series.map over the (already deduplicated-to-winners) batch is still
-    # Arrow-batched at the transfer layer. Skip nulls.
-    return out.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
+    # NFC is the identity on ASCII, so detect non-ASCII rows with a
+    # vectorized regex and normalize ONLY those — for a mostly-ASCII
+    # corpus the per-item Python normalize call disappears entirely.
+    nonascii = out.str.contains(r"[^\x00-\x7F]", regex=True, na=False)
+    if nonascii.any():
+        out = out.copy()
+        out.loc[nonascii] = out.loc[nonascii].map(
+            lambda x: unicodedata.normalize("NFC", x)
+        )
+    return out
 
 
 def normalize_text_native(col: Column) -> Column:
