@@ -65,15 +65,17 @@ def merge_batch(
         return table, {"skipped_batches": 1}
 
     key = table.manifest["key"]
+    order = table.manifest.get("resolve_order", ORDER)
     schema_cols = table.schema.names()
-    payload = [c for c in schema_cols if c not in set(key) | set(ORDER) | {"_tombstone"}]
+    payload = [c for c in schema_cols if c not in set(key) | set(order) | {"_tombstone"}]
 
+    lsn_col = order[-1]  # the monotone component of the resolve order
     obs_src = Observation(f"src-{batch_id}")
     changes = changes.observe(
-        obs_src, F.count(F.lit(1)).alias("events_seen"), F.max("lsn").alias("max_lsn")
+        obs_src, F.count(F.lit(1)).alias("events_seen"), F.max(lsn_col).alias("max_lsn")
     )
 
-    reduced = lww_reduce(changes, key=key, order=ORDER, payload=payload + ["op"])
+    reduced = lww_reduce(changes, key=key, order=order, payload=payload + ["op"])
     if normalizer == "arrow":
         reduced = reduced.withColumn("text", normalize_text(F.col("text")))
     elif normalizer == "native":
@@ -85,7 +87,7 @@ def merge_batch(
         obs = Observation(f"mor-{batch_id}")
         final = reduced.select(
             *key,
-            *ORDER,
+            *order,
             *[F.when(is_delete, F.lit(None)).otherwise(F.col(c)).alias(c) for c in payload],
             is_delete.alias("_tombstone"),
             F.col("_bucket"),
@@ -122,7 +124,7 @@ def merge_batch(
         base = table.read(buckets=affected, include_tombstones=True)
         change_side = reduced.select(
             *[F.col(k).alias(f"_ck_{k}") for k in key],
-            *[F.col(c).alias(f"_c_{c}") for c in ORDER + payload + ["op", "_bucket"]],
+            *[F.col(c).alias(f"_c_{c}") for c in order + payload + ["op", "_bucket"]],
         )
         cond = None
         for k in key:
@@ -130,10 +132,12 @@ def merge_batch(
             cond = c if cond is None else (cond & c)
         joined = base.join(change_side, cond, "full_outer")
 
-        base_exists = F.col("lsn").isNotNull()
+        base_exists = F.col(order[-1]).isNotNull()
         base_live = base_exists & ~F.coalesce(F.col("_tombstone"), F.lit(False))
-        change_exists = F.col("_c_lsn").isNotNull()
-        newer = F.struct(F.col("_c_ts"), F.col("_c_lsn")) > F.struct(F.col("ts"), F.col("lsn"))
+        change_exists = F.col(f"_c_{order[-1]}").isNotNull()
+        newer = F.struct(*[F.col(f"_c_{c}") for c in order]) > F.struct(
+            *[F.col(c) for c in order]
+        )
         take_change = change_exists & (~base_exists | newer)
         is_delete = F.col("_c_op") == "D"
         # Deletes are persisted as TOMBSTONES (row kept, payload nulled,
@@ -152,7 +156,7 @@ def merge_batch(
         out_cols = []
         for k in key:
             out_cols.append(F.coalesce(F.col(k), F.col(f"_ck_{k}")).alias(k))
-        for c in ORDER:
+        for c in order:
             out_cols.append(F.when(taken, F.col(f"_c_{c}")).otherwise(F.col(c)).alias(c))
         for c in payload:
             out_cols.append(

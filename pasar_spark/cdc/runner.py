@@ -72,7 +72,9 @@ def _lsn_file_stats(path: str) -> list[tuple[str, int, int]] | None:
                 f_min = stats.min if f_min is None else min(f_min, stats.min)
                 f_max = stats.max if f_max is None else max(f_max, stats.max)
             out.append((full, int(f_min), int(f_max)))
-    except OSError:
+    except (OSError, ValueError):
+        # ValueError covers pyarrow.lib.ArrowInvalid (truncated/partial
+        # file from a crashed writer) — fall back to the Spark scan
         return None
     return out
 
@@ -83,6 +85,22 @@ def _max_lsn_from_footers(path: str) -> int | None:
     if not stats:
         return None
     return max(hi for _, _, hi in stats)
+
+
+def bootstrap_table(spark: SparkSession, path: str, n_buckets: int) -> LakeTable:
+    """Create-or-load the transcripts lake table — the single source of
+    truth for the base layout, shared by batch replay and streaming so
+    the two paths can never drift."""
+    if LakeTable.exists(path):
+        return LakeTable.load(spark, path)
+    return LakeTable.create(
+        spark,
+        path,
+        columns=BASE_COLUMNS,
+        key=KEY,
+        n_buckets=n_buckets,
+        bucket_by="conv_id",
+    )
 
 
 class ReplayRunner:
@@ -111,16 +129,7 @@ class ReplayRunner:
 
     # ------------------------------------------------------------------
     def bootstrap(self) -> LakeTable:
-        if LakeTable.exists(self.table_path):
-            return LakeTable.load(self.spark, self.table_path)
-        return LakeTable.create(
-            self.spark,
-            self.table_path,
-            columns=BASE_COLUMNS,
-            key=KEY,
-            n_buckets=self.n_buckets,
-            bucket_by="conv_id",
-        )
+        return bootstrap_table(self.spark, self.table_path, self.n_buckets)
 
     # ------------------------------------------------------------------
     def replay(
@@ -147,7 +156,7 @@ class ReplayRunner:
         file_stats = _lsn_file_stats(events) if isinstance(events, str) else None
 
         hi = None
-        if file_stats and max_events is None:
+        if file_stats:
             hi = max(h for _, _, h in file_stats)
         if hi is None:
             hi_row = src.agg(F.max("lsn").alias("m")).collect()[0]
@@ -171,10 +180,14 @@ class ReplayRunner:
                     p for p, f_lo, f_hi in file_stats
                     if f_hi >= lo and f_lo <= chunk_hi
                 ]
-                if overlapping:
-                    chunk_src = self.spark.read.parquet(*overlapping)
-                    if max_events is not None:
-                        chunk_src = chunk_src.where(F.col("lsn") < max_events)
+                if not overlapping:
+                    # lsn gap: nothing to apply; re-walked (cheaply) on
+                    # resume since last_lsn doesn't advance past it
+                    lo = chunk_hi + 1
+                    continue
+                chunk_src = self.spark.read.parquet(*overlapping)
+                if max_events is not None:
+                    chunk_src = chunk_src.where(F.col("lsn") < max_events)
             chunk = chunk_src.where(
                 (F.col("lsn") >= lo) & (F.col("lsn") <= chunk_hi)
             )

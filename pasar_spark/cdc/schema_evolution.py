@@ -37,34 +37,70 @@ class EvolutionPlan:
     steps: dict[int, list[tuple]] = field(default_factory=dict)
 
     def apply_up_to(self, table: LakeTable, target_ver: int) -> LakeTable:
+        """Apply DDL for feed versions (applied, target] — ONE atomic
+        manifest commit per version carrying BOTH the schema change and
+        the feed_schema_ver bump. A crash leaves the table either fully
+        at version v or fully at v-1; re-application is then a no-op
+        (the per-op-commit formulation could crash between the DDL
+        commit and the ledger commit, after which re-applying the plan
+        raised 'column already exists' forever)."""
         applied = table.manifest["ledger"].get("feed_schema_ver", 0)
         while applied < target_ver:
             applied += 1
+            schema = table.schema
+            renames: list[tuple[str, str]] = []
             for op in self.steps.get(applied, []):
                 kind = op[0]
                 if kind == "add":
-                    table = table.add_column(op[1], op[2])
+                    schema = schema.add_column(op[1], op[2])
                 elif kind == "rename":
-                    table = table.rename_column(op[1], op[2])
+                    schema = schema.rename_column(op[1], op[2])
+                    renames.append((op[1], op[2]))
                 elif kind == "widen":
-                    table = table.widen_column(op[1], op[2])
+                    schema = schema.widen_column(op[1], op[2])
                 else:
                     raise ValueError(f"unknown evolution op {op!r}")
-            # Record progress in the ledger (next commit persists it).
-            table.manifest["ledger"]["feed_schema_ver"] = applied
-            table = table._commit(
-                table.manifest, tag=f"feed-schema-ver-{applied}"
-            )
+            import json as _json
+
+            m = _json.loads(_json.dumps(table.manifest))
+            m["schemas"][str(schema.schema_id)] = schema.to_json()
+            m["current_schema_id"] = schema.schema_id
+            for old, new in renames:
+                # logical references + the feed-name alias follow a rename
+                m["key"] = [new if k == old else k for k in m["key"]]
+                if m.get("bucket_by") == old:
+                    m["bucket_by"] = new
+                m["resolve_order"] = [
+                    new if c == old else c for c in m.get("resolve_order", [])
+                ]
+                m.setdefault("feed_aliases", {})[old] = new
+            m["ledger"]["feed_schema_ver"] = applied
+            table = table._commit(m, tag=f"feed-schema-ver-{applied}")
         return table
 
 
 def promote_extra(events: DataFrame, table: LakeTable) -> DataFrame:
-    """Materialize evolved columns from the ``extra`` JSON for every table
-    column that is not part of the base envelope. JSON access + cast is
-    pure Catalyst (get_json_object) — no Python."""
+    """Align the feed with the current table schema: (1) apply recorded
+    feed aliases (a renamed key/order/payload column keeps its OLD name
+    in the feed envelope — rename, never re-synthesize, or every event
+    would get a NULL key and the LWW reduce would corrupt the table);
+    (2) materialize genuinely new columns from the ``extra`` JSON.
+    JSON access + cast is pure Catalyst (get_json_object) — no Python."""
+    key_and_order = set(table.manifest["key"]) | set(
+        table.manifest.get("resolve_order", [])
+    )
+    for old, new in table.manifest.get("feed_aliases", {}).items():
+        if old in events.columns and new not in events.columns:
+            events = events.withColumnRenamed(old, new)
     for f in table.schema.fields:
         if f.name in ENVELOPE or f.name in events.columns or f.name.startswith("_"):
             continue  # never synthesize engine-internal (_-prefixed) columns
+        if f.name in key_and_order:
+            raise ValueError(
+                f"feed is missing key/order column {f.name!r} and it cannot "
+                "be synthesized from the JSON payload — declare a rename in "
+                "the evolution plan instead"
+            )
         events = events.withColumn(
             f.name, F.get_json_object(F.col("extra"), f"$.{f.name}").cast(f.type)
         )

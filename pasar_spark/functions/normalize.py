@@ -36,7 +36,11 @@ NORMALIZE_SQL = "nfc_normalize(trim(regexp_replace({col}, '\\s+', ' ', 'g')))"
 @pandas_udf(StringType())
 def normalize_text(s: pd.Series) -> pd.Series:
     # Vectorized pandas string ops over Arrow batches (zero-copy transfer).
-    out = s.str.replace(r"\s+", " ", regex=True).str.strip()
+    # Explicit ASCII whitespace class: Python's \s is Unicode-aware while
+    # Java's (normalize_text_native) and DuckDB's RE2 \s are ASCII-only —
+    # using \s here would silently collapse U+00A0 etc. and break the
+    # lockstep contract with NORMALIZE_SQL below.
+    out = s.str.replace(r"[ \t\n\r\f\v]+", " ", regex=True).str.strip(" \t\n\r\f\v")
     # NFC is the identity on ASCII, so detect non-ASCII rows with a
     # vectorized regex and normalize ONLY those — for a mostly-ASCII
     # corpus the per-item Python normalize call disappears entirely.

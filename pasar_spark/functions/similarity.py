@@ -265,6 +265,10 @@ def minhash_lsh_pairs(
     # tokenize+shingle projection 6-8x (measured). MEMORY_AND_DISK so a
     # 100 TB corpus spills instead of OOMing; the shingle stage is the
     # natural cut point (smallest payload that every consumer needs).
+    # Lifecycle: the cache lives as long as the returned DataFrame — once
+    # the caller drops it, Spark's ContextCleaner reclaims the storage
+    # (no explicit unpersist hook is exposed; callers that loop should
+    # drop the result promptly).
     from pyspark import StorageLevel
 
     sh = docs.select(

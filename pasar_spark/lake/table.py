@@ -141,6 +141,9 @@ class LakeTable:
         if m.get("bucket_by") == old:
             m["bucket_by"] = new
         m["resolve_order"] = [new if c == old else c for c in m.get("resolve_order", [])]
+        # feed events keep sending the OLD name; promote_extra renames
+        # them on ingest (never synthesizes a key/order column from JSON)
+        m.setdefault("feed_aliases", {})[old] = new
         return self._commit(m, tag=f"rename-{old}-{new}")
 
     def widen_column(self, name: str, new_type: str) -> "LakeTable":

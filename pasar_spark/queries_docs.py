@@ -142,9 +142,14 @@ _COPIES_SQL = """
 
 # Bigram shingle sets: word-soup cross-pairs have jaccard << 0.9, so at
 # threshold 0.9 the ONLY pairs are original<->copy — a closed-form oracle.
+# Degenerate docs must match Spark's shingles(col, 2) exactly: a 1-token
+# doc yields [tok] (slice pads nothing) and an empty doc yields [''] —
+# the naive toks[i] || ' ' || toks[i+1] produces [NULL] for both, which
+# diverges under intersect/union arithmetic.
 _BIGRAMS = (
     "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),"
-    " i -> toks[i] || ' ' || toks[i + 1]))"
+    " i -> CASE WHEN len(toks) >= i + 1 THEN toks[i] || ' ' || toks[i + 1]"
+    "           WHEN len(toks) >= i THEN toks[i] ELSE '' END))"
 )
 
 
@@ -365,7 +370,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_simhash", None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (hamming <= 6) over injected copies."""
-    c = _with_copies(load(spark, sf_dir, "documents")).where("doc_id < 200 or doc_id between 1000000 and 1000200")
+    c = _with_copies(load(spark, sf_dir, "documents")).where("doc_id < 200 or doc_id between 1000000 and 1000199")
     sig = c.select("doc_id", T.simhash(F.col("text")).alias("sig"))
     a = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
     b = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))

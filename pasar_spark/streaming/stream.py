@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from pasar_spark.cdc.merge import compact_buckets, merge_batch
-from pasar_spark.cdc.runner import BASE_COLUMNS, KEY
+from pasar_spark.cdc.runner import bootstrap_table
 from pasar_spark.cdc.schema_evolution import EvolutionPlan, max_schema_ver, promote_extra
 from pasar_spark.lake.table import LakeTable
 
@@ -56,16 +56,7 @@ class StreamingIngest:
         self.compact_min_files = compact_min_files
 
     def bootstrap(self) -> LakeTable:
-        if LakeTable.exists(self.table_path):
-            return LakeTable.load(self.spark, self.table_path)
-        return LakeTable.create(
-            self.spark,
-            self.table_path,
-            columns=BASE_COLUMNS,
-            key=KEY,
-            n_buckets=self.n_buckets,
-            bucket_by="conv_id",
-        )
+        return bootstrap_table(self.spark, self.table_path, self.n_buckets)
 
     def _apply_epoch(self, batch_df, epoch_id: int) -> None:
         batch_id = f"stream-{epoch_id}"
