@@ -673,6 +673,40 @@ def q_clamp_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_or_join_unpivoted",
+    """
+    WITH keys AS (
+      SELECT event_id, (user_id % 100) + 1 AS k FROM events
+      UNION ALL
+      SELECT event_id, (user_id % 50) + 1 AS k FROM events),
+    dedup AS (SELECT DISTINCT event_id, k FROM keys)
+    SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_events
+    FROM customer JOIN dedup ON c_custkey = k
+    GROUP BY c_custkey
+    """,
+)
+def q_or_join_unpivoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column OR join (reference J5, stg__procedure_occurrence.sql:
+    43-45 — provider matched on any of 3 name columns). A literal OR
+    condition forces a broadcast-nested-loop plan; the scalable rewrite
+    unpivots the candidate key columns (explode) then equi-joins — one
+    hash join, pushdown-friendly, exactly as SURVEY.md J5 prescribes."""
+    c = load(spark, sf_dir, "customer")
+    e = load(spark, sf_dir, "events")
+    keys = e.select(
+        "event_id",
+        F.explode(
+            F.array((F.col("user_id") % 100) + 1, (F.col("user_id") % 50) + 1)
+        ).alias("k"),
+    ).dropDuplicates(["event_id", "k"])
+    return (
+        c.join(keys, c.c_custkey == keys.k)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
     "q_mode_brand",
     """
     SELECT p_type, p_brand AS top_brand FROM (
