@@ -248,6 +248,11 @@ def compact_buckets(
 
     major, minor = [], []
     for b in todo:
+        if not table.bucket_entries(b, kind="delta"):
+            # nothing to fold — e.g. an explicitly-passed bucket whose
+            # entries all pre-date the 'kind' field (default to base);
+            # the minor path would otherwise lww_reduce(None) and crash
+            continue
         base_rows = sum(e.get("rows", 0) for e in table.bucket_entries(b, kind="base"))
         delta_rows = sum(e.get("rows", 0) for e in table.bucket_entries(b, kind="delta"))
         if policy == "full" or base_rows == 0 or delta_rows >= major_ratio * base_rows:

@@ -71,6 +71,10 @@ def _lsn_file_stats(path: str) -> list[tuple[str, int, int]] | None:
                     return None
                 f_min = stats.min if f_min is None else min(f_min, stats.min)
                 f_max = stats.max if f_max is None else max(f_max, stats.max)
+            if f_min is None:
+                # zero row groups — Spark writes exactly this for an empty
+                # dataset; the file contributes no lsn range, skip it
+                continue
             out.append((full, int(f_min), int(f_max)))
     except (OSError, ValueError):
         # ValueError covers pyarrow.lib.ArrowInvalid (truncated/partial

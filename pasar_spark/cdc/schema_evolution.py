@@ -89,9 +89,15 @@ def promote_extra(events: DataFrame, table: LakeTable) -> DataFrame:
     key_and_order = set(table.manifest["key"]) | set(
         table.manifest.get("resolve_order", [])
     )
-    for old, new in table.manifest.get("feed_aliases", {}).items():
+    aliases = table.manifest.get("feed_aliases", {})
+    for old, new in aliases.items():
         if old in events.columns and new not in events.columns:
             events = events.withColumnRenamed(old, new)
+    # reverse alias map (new -> old) so JSON synthesis can see a column
+    # under every name it ever had: events written before a rename carry
+    # the payload at $.{old_name} — reading only $.{new_name} would
+    # silently ingest NULL for all pre-rename history under LWW replay.
+    reverse = {new: old for old, new in aliases.items()}
     for f in table.schema.fields:
         if f.name in ENVELOPE or f.name in events.columns or f.name.startswith("_"):
             continue  # never synthesize engine-internal (_-prefixed) columns
@@ -101,8 +107,15 @@ def promote_extra(events: DataFrame, table: LakeTable) -> DataFrame:
                 "be synthesized from the JSON payload — declare a rename in "
                 "the evolution plan instead"
             )
+        names, cur = [f.name], f.name
+        while cur in reverse and reverse[cur] not in names:
+            cur = reverse[cur]
+            names.append(cur)
         events = events.withColumn(
-            f.name, F.get_json_object(F.col("extra"), f"$.{f.name}").cast(f.type)
+            f.name,
+            F.coalesce(
+                *[F.get_json_object(F.col("extra"), f"$.{n}") for n in names]
+            ).cast(f.type),
         )
     return events
 
