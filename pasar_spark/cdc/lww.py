@@ -52,17 +52,30 @@ def lww_reduce(
     key: list[str] | None = None,
     order: list[str] | None = None,
     payload: list[str] | None = None,
+    prefer_non_null: str | None = None,
 ) -> DataFrame:
     """One row per key: the event with the max ``order`` tuple.
 
     Single shuffle on ``key`` with map-side combine; no sort, no window.
+
+    ``prefer_non_null`` names a payload column whose NON-NULLness takes
+    precedence over the time order — the reference's W2 prioritized pick
+    (stg__person.sql:26-32 orders by ``CASE WHEN g IS NOT NULL THEN 0
+    ELSE 1 END`` before the timestamp). In CDC terms: an event carrying a
+    real value beats a null-payload event even if the null one is newer.
+    Implemented as a boolean prefix on the comparator struct, so it keeps
+    the aggregate's map-side combine (no window, no sort).
     """
     key = key or DEFAULT_KEY
     order = order or DEFAULT_ORDER
     if payload is None:
         payload = [c for c in events.columns if c not in set(key) | set(order)]
+    if prefer_non_null is not None:
+        events = events.withColumn("_nn", F.col(prefer_non_null).isNotNull())
+        order = ["_nn", *order]
     packed = events.groupBy(*key).agg(F.max(_packed(order, payload)).alias("_w"))
-    return _unpack(packed, key, order, payload)
+    out = _unpack(packed, key, order, payload)
+    return out.drop("_nn") if prefer_non_null is not None else out
 
 
 def lww_reduce_hash(

@@ -38,7 +38,13 @@ def two_pass_lookup(
     default=None,
 ) -> DataFrame:
     """Adds ``out_col``: exact dict match, else match on normalize(key),
-    else ``default``. Both joins broadcast the dictionary."""
+    else ``default``. Both joins broadcast the dictionary.
+
+    Single pass over the fact side: the fallback is a second broadcast
+    left join whose condition is gated on pass-1 missing (``_v1 IS NULL``
+    as a residual condition on the hash join), not a filter/union split —
+    the split formulation scanned the fact side twice (once per branch).
+    """
     exact = _dedup_dict(dict_df, F.col(dict_key), dict_val)
     fuzzy = _dedup_dict(dict_df, normalize(F.col(dict_key)), dict_val)
 
@@ -46,17 +52,15 @@ def two_pass_lookup(
         F.broadcast(exact), df[src_col] == exact["_dk"], "left"
     ).withColumnRenamed("_dv", "_v1").drop("_dk")
 
-    matched = pass1.where(F.col("_v1").isNotNull())
-    missed = pass1.where(F.col("_v1").isNull()).drop("_v1")
-
-    pass2 = (
-        missed.join(
-            F.broadcast(fuzzy), normalize(missed[src_col]) == fuzzy["_dk"], "left"
+    out = (
+        pass1.join(
+            F.broadcast(fuzzy),
+            F.col("_v1").isNull() & (normalize(pass1[src_col]) == fuzzy["_dk"]),
+            "left",
         )
-        .withColumnRenamed("_dv", "_v1")
+        .withColumnRenamed("_dv", "_v2")
         .drop("_dk")
     )
-    out = matched.unionByName(pass2)
     return out.withColumn(
-        out_col, F.coalesce(F.col("_v1"), F.lit(default))
-    ).drop("_v1")
+        out_col, F.coalesce(F.col("_v1"), F.col("_v2"), F.lit(default))
+    ).drop("_v1", "_v2")

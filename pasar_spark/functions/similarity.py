@@ -158,6 +158,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    train_cap: int = 100_000,
 ) -> DataFrame:
     """IVF-Flat approximate top-k cosine neighbors.
 
@@ -166,10 +167,13 @@ def ivf_topk(
     nearest centroid cell; (3) for each query, probe its ``n_probe``
     nearest cells; (4) exact cosine rank within the probed candidates.
 
-    Scale shape (10^9 vectors): the quantizer trains on a sample, cell
-    assignment is one map pass, and the candidate join is a cell-id
-    equi-join — one shuffle per side, no cross join. The centroid table
-    (n_cells x dim floats) broadcasts.
+    Scale shape (10^9 vectors): the quantizer trains on a CAPPED subset
+    (``limit(train_cap)`` — deterministic, and a coarse quantizer only
+    needs enough points per cell, not the corpus), materialized once so
+    k-means iterations don't re-run the scan; cell assignment is one map
+    pass; the candidate join is a cell-id equi-join — one shuffle per
+    side, no cross join. The centroid table (n_cells x dim floats)
+    broadcasts.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -180,9 +184,13 @@ def ivf_topk(
         F.col(vec_col).alias("_v"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
     )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="_feat", predictionCol="_cell").fit(
-        feat
-    )
+    train = feat.select("_feat").limit(train_cap).persist()
+    try:
+        model = KMeans(
+            k=n_cells, seed=seed, featuresCol="_feat", predictionCol="_cell"
+        ).fit(train)
+    finally:
+        train.unpersist()
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
     assigned = model.transform(feat).select("vec_id", "_v", "_cell")
@@ -253,6 +261,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs with exact-Jaccard
     verification. Returns (id_a, id_b, jaccard). Candidate generation is
@@ -266,15 +275,18 @@ def minhash_lsh_pairs(
     # 100 TB corpus spills instead of OOMing; the shingle stage is the
     # natural cut point (smallest payload that every consumer needs).
     # Lifecycle: the cache lives as long as the returned DataFrame — once
-    # the caller drops it, Spark's ContextCleaner reclaims the storage
-    # (no explicit unpersist hook is exposed; callers that loop should
-    # drop the result promptly).
+    # the caller drops it, Spark's ContextCleaner reclaims the storage.
+    # Callers that LOOP within one session should pass ``cache_handle``
+    # (a list) and unpersist the appended DataFrame once the result is
+    # consumed, instead of waiting on the GC-driven cleaner.
     from pyspark import StorageLevel
 
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_handle is not None:
+        cache_handle.append(sh)
     sig = sh.select(
         "doc_id", minhash_from_shingles(F.col("_sh"), n_hashes).alias("_sig")
     )

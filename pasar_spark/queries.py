@@ -47,11 +47,15 @@ def spread(df: DataFrame) -> DataFrame:
     stages (higher-order functions are interpreted, not codegen'd) run
     nearly single-threaded on a 32-core box. A cheap round-robin shuffle
     of the raw rows is repaid many times over by parallelizing the
-    expensive per-row work. Guarded: when the scan already has >= cores
-    partitions (the 100 TB case — thousands of splits), this is a no-op,
-    so no extra shuffle appears in the at-scale plan.
+    expensive per-row work. Guarded twice: on a non-local master it is a
+    no-op without even analyzing the plan (a 100 TB scan has thousands of
+    splits and the ``df.rdd`` partition probe itself costs an analysis
+    pass), and locally it only fires when the scan has fewer partitions
+    than cores.
     """
     sc = df.sparkSession.sparkContext
+    if not sc.master.startswith("local"):
+        return df
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -573,10 +577,13 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit schema (never inferred), aggregate. The oracle computes the
     same aggregate from parquet — equality proves the round-trip is
     lossless."""
+    import os
     import tempfile
 
     n = load(spark, sf_dir, "nation")
-    path = tempfile.mkdtemp(prefix="pasar_csv_") + "/nation_tsv"
+    # stable per-user path + overwrite: repeated runs reuse the same dir
+    # instead of leaking one mkdtemp per invocation
+    path = os.path.join(tempfile.gettempdir(), "pasar_csv_roundtrip", "nation_tsv")
     n.write.mode("overwrite").option("sep", "\t").option("header", True).option(
         "quote", '"'
     ).csv(path)
@@ -724,3 +731,60 @@ def q_mode_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("rn = 1")
         .select("p_type", F.col("p_brand").alias("top_brand"))
     )
+
+
+@register(
+    "q_union_dedup",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS nation_key FROM customer
+    UNION
+    SELECT CAST(n_nationkey AS BIGINT) AS nation_key FROM nation
+    """,
+)
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with dedup across sources (reference U2,
+    stg__care_site.sql:21,46-51 — two provider sources unioned without
+    duplicates): every nation key appears in both inputs, so the result
+    proves the distinct actually collapses cross-source duplicates."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nation_key")
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nation_key")
+    )
+    return c.unionByName(n).distinct()
+
+
+@register(
+    "q_prefer_nonnull_latest",
+    """
+    SELECT user_id, ts, lsn, value FROM (
+      SELECT user_id, ts, event_id AS lsn, v AS value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY (v IS NOT NULL) DESC, ts DESC, event_id DESC) AS rn
+      FROM (SELECT user_id, ts, event_id,
+                   CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+            FROM events) t) r
+    WHERE rn = 1
+    """,
+)
+def q_prefer_nonnull_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prioritized pick with null-last preference (reference W2,
+    stg__person.sql:26-32: ``ORDER BY ..., CASE WHEN g IS NOT NULL THEN 0
+    ELSE 1 END``): per user, the latest event that carries a NON-NULL
+    value wins; a newer null-payload event does not clobber it. Runs
+    through the engine's LWW aggregate (prefer_non_null order prefix) —
+    map-side combinable, no window."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    won = lww_reduce(
+        ev, key=["user_id"], order=["ts", "lsn"], payload=["value"],
+        prefer_non_null="value",
+    )
+    return won.select("user_id", "ts", "lsn", "value")

@@ -73,6 +73,37 @@ def test_hash_variant_equals_struct_max(spark):
     assert "HashAggregate" in plan  # decimal-packed comparator stays hashable
 
 
+def test_prefer_non_null_beats_newer_null(spark):
+    """W2 prioritized pick: a NON-NULL payload wins over a newer null
+    payload; among non-null candidates, normal (ts, lsn) order applies;
+    all-null keys still resolve by (ts, lsn)."""
+    rows = [
+        # key (a,0): newest event (lsn 3) has null text → non-null lsn 2 wins
+        (1, "U", "a", 0, "old", _ts("2025-01-01 00:00:00")),
+        (2, "U", "a", 0, "new", _ts("2025-01-01 00:05:00")),
+        (3, "U", "a", 0, None, _ts("2025-01-01 00:10:00")),
+        # key (a,1): everything null → plain LWW picks max (ts, lsn)
+        (4, "U", "a", 1, None, _ts("2025-01-01 00:00:00")),
+        (5, "U", "a", 1, None, _ts("2025-01-01 00:01:00")),
+    ]
+    df = _df(spark, rows)
+    out = lww_reduce(
+        df, key=["conv_id", "turn_idx"], order=["ts", "lsn"], prefer_non_null="text"
+    )
+    got = {(r.conv_id, r.turn_idx): (r.lsn, r.text) for r in out.collect()}
+    assert got == {("a", 0): (2, "new"), ("a", 1): (5, None)}
+    assert "_nn" not in out.columns
+    # permutation invariance holds for the extended comparator too
+    out2 = lww_reduce(
+        _df(spark, list(reversed(rows))),
+        key=["conv_id", "turn_idx"], order=["ts", "lsn"], prefer_non_null="text",
+    )
+    assert {(r.conv_id, r.turn_idx): (r.lsn, r.text) for r in out2.collect()} == got
+    # still the map-side-combinable aggregate — no window crept in
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan and "Window" not in plan
+
+
 def test_lww_plan_has_mapside_combine_single_shuffle(spark):
     """The hot-path reduce must be a two-phase aggregate (partial_max
     map-side, final after ONE shuffle) — that's the skew story: a hot key
