@@ -120,27 +120,63 @@ def lsh_topk(
     df: DataFrame,
     k: int = 3,
     n_planes: int = 10,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    seed: int = 7,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the same hyperplane
-    bucket, then exact cosine rank within candidates. The bucket join is
-    an equi-join (one shuffle per side) — the 10^9-vector scale path."""
+    """Approximate top-k via hyperplane LSH — the 10^9-vector scale path.
+
+    Classic multi-table construction: ``n_tables`` independent hash
+    tables, each hashing into 2^n_planes buckets from its own seeded
+    plane set; a pair is a candidate if it collides in ANY table. Recall
+    is 1-(1-p^n_planes)^n_tables for per-plane agreement p — the
+    (n_planes, n_tables) pair is the recall/cost dial, and recall is
+    MEASURED, not assumed, by the knn_recall_eval registry gate
+    (>= 0.9 on the fixture corpus at n_planes=4, n_tables=16).
+
+    Scale shape: bucket assignment is one map pass; the per-table
+    explode carries ONLY (vec_id, table, bucket) — vectors never ride
+    the n_tables-way row multiplication (same ids-only discipline as the
+    MinHash band explode); candidate generation is an equi-join on
+    (table, bucket); vectors are re-joined for exact scoring of
+    candidates only. No all-pairs stage anywhere.
+    """
     from pyspark.sql import Window
 
-    b = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_v"),
-        hyperplane_bucket(F.col(vec_col), n_planes, dim=dim).alias("_bkt"),
+    v = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    sig = v.select(
+        "vec_id",
+        *[
+            hyperplane_bucket(F.col("_v"), n_planes, seed=seed + 100 * t, dim=dim).alias(
+                f"_b{t}"
+            )
+            for t in range(n_tables)
+        ],
     )
-    other = b.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("_v").alias("_w"), F.col("_bkt")
-    )
-    pairs = (
-        b.join(other, ["_bkt"])
+    banded = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), F.col(f"_b{t}").alias("b"))
+                for t in range(n_tables)
+            ])
+        ).alias("_x"),
+    ).select("vec_id", F.col("_x.t").alias("_t"), F.col("_x.b").alias("_b"))
+
+    cand = (
+        banded.select("_t", "_b", F.col("vec_id"))
+        .join(
+            banded.select("_t", "_b", F.col("vec_id").alias("neighbor_id")),
+            ["_t", "_b"],
+        )
         .where(F.col("vec_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("_v"), F.col("_w")))
+        .dropDuplicates(["vec_id", "neighbor_id"])
+    )
+    vb = v.select(F.col("vec_id").alias("neighbor_id"), F.col("_v").alias("_w"))
+    pairs = cand.join(v, "vec_id").join(vb, "neighbor_id").withColumn(
+        "cos_sim", cosine(F.col("_v"), F.col("_w"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -250,6 +286,80 @@ def embedding_near_dups(
         .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-duplicate pairs (hamming distance <= ``max_hamming``)
+    with BANDED candidate generation — the 100 TB-safe shape.
+
+    The 64-bit signature splits into ``n_bands`` contiguous bit bands
+    (shift+mask, pure Catalyst). Two signatures within hamming distance h
+    differ in at most h bands, so for h <= n_bands - 1 the pigeonhole
+    principle guarantees at least one band is bit-identical — candidate
+    generation is therefore an exact-recall equi-join on (band, value),
+    never an all-pairs theta join (the previous id_a < id_b formulation
+    was O(n^2) rows before the hamming filter). Candidates are then
+    verified with the true bit_count(xor) distance.
+
+    Requires ``max_hamming <= n_bands - 1`` (asserted) and 64 % n_bands
+    == 0. Returns (id_a, id_b, hamming).
+    """
+    from pasar_spark.functions.text import hamming64, simhash
+
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"recall guarantee needs n_bands >= max_hamming + 1 "
+            f"(got n_bands={n_bands}, max_hamming={max_hamming})"
+        )
+    if 64 % n_bands != 0:
+        raise ValueError("64 must divide evenly into n_bands")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    # signatures are 16 bytes/doc — persist so the band explode and both
+    # verification sides share one computation of the text aggregate
+    from pyspark import StorageLevel
+
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("sig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    # arithmetic shift + mask = the i-th width-bit chunk;
+                    # sign extension is masked off, identical across engines
+                    F.shiftright("sig", width * i).bitwiseAND(F.lit(mask)).alias("val"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("_b"),
+    ).select("doc_id", F.col("_b.band").alias("band"), F.col("_b.val").alias("val"))
+
+    cand = (
+        banded.select("band", "val", F.col("doc_id").alias("id_a"))
+        .join(banded.select("band", "val", F.col("doc_id").alias("id_b")), ["band", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("_sa"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("_sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", hamming64(F.col("_sa"), F.col("_sb")).cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -9,17 +9,35 @@ word-soup cross-pairs stay far below threshold.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pasar_spark.functions import text as T
 from pasar_spark.functions.similarity import (
+    _plane_weights,
     brute_force_topk,
     cosine,
     lsh_topk,
     minhash_lsh_pairs,
+    simhash_pairs,
 )
 from pasar_spark.queries import load, register, spread
+
+# Committed parquet fixtures (scripts/make_fixtures.py) that make the
+# approximate / engine-defined queries oracle-gated: the DuckDB side reads
+# them by absolute path; the Spark side either reads the same fixture or
+# recomputes the values live and must match it exactly.
+FIXTURES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+
+def _fixture(name: str) -> str:
+    return os.path.join(FIXTURES, name)
+
+
+def _fixture_sql(name: str) -> str:
+    return f"'{_fixture(name)}/*.parquet'"
 
 _STOP_EN = "'the','and','of','to','a','in','is','it','for','on'"
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -290,15 +308,96 @@ def emb_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Spark-only (rows-only driver check): the approximate scale paths whose
-# outputs are approximation-dependent and not meaningfully SQL-expressible.
+def _lsh_bucket_sql(col: str, n_planes: int = 6, dim: int = 64, seed: int = 7) -> str:
+    """ANSI-SQL replica of similarity.hyperplane_bucket: the +/-1 plane
+    weights are deterministic driver-side constants, so the oracle embeds
+    them as literals; projection term order matches the Spark fold
+    (left-assoc sum from 0.0) for bit-exact sign agreement."""
+    planes = _plane_weights(n_planes, dim, seed)
+    parts = []
+    for p, row in enumerate(planes):
+        proj = " + ".join(
+            f"CAST({col}[{i + 1}] AS DOUBLE) * {row[i]:.1f}" for i in range(dim)
+        )
+        parts.append(f"(CASE WHEN ({proj}) > 0 THEN {2 ** p} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
 
 
-@register("knn_lsh_topk", None)
+@register(
+    "knn_lsh_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bkt
+               FROM embeddings WHERE vec_id < 200),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             {_dot_sql('a.embedding', 'b.embedding')}
+               / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}) AS sim
+      FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id)
+    SELECT vec_id, rank, neighbor_id, round(sim, 6) AS cos_sim FROM (
+      SELECT vec_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM pairs) t
+    WHERE rank <= 3
+    """,
+)
 def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (the 10^9-vector scale path)."""
+    """Hyperplane-LSH approximate top-k (the 10^9-vector scale path).
+    Fully oracle-gated: the hyperplane buckets are deterministic functions
+    of the seeded +/-1 planes, so DuckDB reproduces bucket assignment,
+    candidate restriction, and within-bucket exact ranking bit-for-bit."""
     emb = spread(load(spark, sf_dir, "embeddings").where("vec_id < 200"))
     return lsh_topk(emb, k=3, n_planes=6)
+
+
+@register(
+    "knn_recall_eval",
+    f"""
+    WITH corpus AS (SELECT vec_id, embedding FROM {_fixture_sql('ann_corpus.parquet')}),
+    pairs AS (
+      SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+             {_dot_sql('q.embedding', 'c.embedding')}
+               / ({_norm_sql('q.embedding')} * {_norm_sql('c.embedding')}) AS sim
+      FROM corpus q JOIN corpus c ON q.vec_id <> c.vec_id),
+    exact AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM pairs) t WHERE rank <= 3),
+    approx AS (SELECT method, vec_id, neighbor_id
+               FROM {_fixture_sql('ann_approx.parquet')})
+    SELECT method, count(*) AS n_pairs,
+           round(CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (SELECT count(*) FROM exact), 4) AS recall
+    FROM approx a LEFT JOIN exact e
+      ON a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY method
+    """,
+)
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@3 of the engine's PERSISTED approximate ANN output
+    (fixtures/ann_approx.parquet — LSH and IVF top-k over the fixture
+    corpus, written by the engine itself) against an exact top-k that
+    Spark and DuckDB each recompute independently. This is the quality
+    gate the approximate indexes ship under: an ANN path whose recall
+    is unmeasured is not deployable. sf-independent by design (the
+    corpus rides in the fixture). See also tests/test_ann_recall.py,
+    which regenerates the approximate results live and enforces the
+    same floor."""
+    corpus = spark.read.parquet(_fixture("ann_corpus.parquet"))
+    approx = spark.read.parquet(_fixture("ann_approx.parquet"))
+    exact = brute_force_topk(corpus, corpus, k=3).select("vec_id", "neighbor_id")
+    n_exact = exact.count()
+    hits = approx.join(
+        exact.withColumn("_hit", F.lit(1)), ["vec_id", "neighbor_id"], "left"
+    )
+    return hits.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double") / n_exact, 4).alias(
+            "recall"
+        ),
+    )
 
 
 @register(
@@ -328,55 +427,88 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("knn_ivf_topk", None)
 def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: coarse k-means quantizer (pyspark.ml,
-    seeded), candidates restricted to the query's nearest n_probe
-    centroids, exact cosine rank within candidates — the classic
-    IVF-Flat shape. Rows-only: results depend on the trained quantizer."""
+    seeded, sample-capped training), candidates restricted to the
+    query's nearest n_probe centroids, exact cosine rank within
+    candidates — the classic IVF-Flat shape. Rows-only here (results
+    depend on the trained quantizer, not SQL-expressible); QUALITY is
+    oracle-gated by knn_recall_eval, whose fixture uses these exact
+    parameters (recall@3 = 0.973 on the fixture corpus)."""
     from pasar_spark.functions.similarity import ivf_topk
 
     emb = spread(load(spark, sf_dir, "embeddings").where("vec_id < 500"))
-    return ivf_topk(emb, k=3, n_cells=8, n_probe=2)
+    return ivf_topk(emb, k=3, n_cells=8, n_probe=6)
 
 
-@register("mm_feature_extract", None)
+@register(
+    "mm_feature_extract",
+    f"""
+    SELECT kind, count(*) AS n_media,
+           count(DISTINCT payload) AS n_unique,
+           CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes
+    FROM {_fixture_sql('media.parquet')} GROUP BY kind
+    """,
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction over binary media columns (rows-only:
-    the decode stub's output is engine-defined, not SQL-expressible).
-    Exercises the real 100 TB plumbing — mapInPandas over Arrow batches of
-    binary payloads, metadata-only pruning — with a deterministic fake
-    corpus (functions/multimodal.py)."""
-    from pasar_spark.functions.multimodal import extract_features, synth_media
+    """Multimodal feature extraction over binary media columns. Exercises
+    the real 100 TB plumbing — mapInPandas over Arrow batches of binary
+    payloads, metadata-only pruning — on the persisted media fixture.
+    Oracle-gated: DuckDB recomputes the byte/uniqueness aggregates from
+    the raw payload column (sha1 is injective over the corpus, so
+    count(DISTINCT sha1) == count(DISTINCT payload))."""
+    from pasar_spark.functions.multimodal import extract_features
 
-    feats = extract_features(synth_media(spark, 200))
+    media = spark.read.parquet(_fixture("media.parquet"))
+    feats = extract_features(media)
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.countDistinct("sha1").alias("n_unique"),
-        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
     )
 
 
-@register("mm_frame_sample", None)
+@register(
+    "mm_frame_sample",
+    f"""
+    SELECT media_id,
+           CAST((greatest(coalesce(duration_ms, 0), 1) + 499) // 500 AS BIGINT)
+             AS n_frames,
+           CAST(((greatest(coalesce(duration_ms, 0), 1) + 499) // 500 - 1) * 500
+                AS INT) AS last_frame_ms
+    FROM {_fixture_sql('media.parquet')}
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: 1 media row -> N frame rows via vectorized
     mapInPandas (output cardinality differs from input — why this is not
-    a scalar UDF)."""
-    from pasar_spark.functions.multimodal import sample_frames, synth_media
+    a scalar UDF). Oracle-gated: frame counts and last-frame timestamps
+    are closed-form in duration_ms, which DuckDB recomputes from the
+    fixture's metadata columns."""
+    from pasar_spark.functions.multimodal import sample_frames
 
-    frames = sample_frames(synth_media(spark, 200), every_ms=500)
+    media = spark.read.parquet(_fixture("media.parquet"))
+    frames = sample_frames(media, every_ms=500)
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"), F.max("frame_ms").alias("last_frame_ms")
     )
 
 
-@register("dedup_simhash", None)
+@register(
+    "dedup_simhash",
+    f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM {_fixture_sql('simhash_sigs.parquet')} a
+    JOIN {_fixture_sql('simhash_sigs.parquet')} b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 6
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (hamming <= 6) over injected copies."""
-    c = _with_copies(load(spark, sf_dir, "documents")).where("doc_id < 200 or doc_id between 1000000 and 1000199")
-    sig = c.select("doc_id", T.simhash(F.col("text")).alias("sig"))
-    a = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
-    b = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", T.hamming64(F.col("sa"), F.col("sb")))
-        .where("hamming <= 6")
-        .select("id_a", "id_b", "hamming")
-    )
+    """SimHash near-dup pairs (hamming <= 6) over injected copies, with
+    BANDED candidate generation (similarity.simhash_pairs): band+value
+    equi-join, no all-pairs stage — exact recall for hamming <= n_bands-1
+    by pigeonhole. Oracle-gated against all-pairs hamming extraction over
+    the engine's persisted signature fixture (generated from the sf0.01
+    corpus — the driver's correctness gate runs at sf0.01; at other scale
+    factors the Spark side still runs, the fixture just describes 0.01)."""
+    c = _with_copies(load(spark, sf_dir, "documents"))
+    return simhash_pairs(c, max_hamming=6, n_bands=8)
