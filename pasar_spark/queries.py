@@ -211,6 +211,92 @@ def cdc_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_duration_eras",
+    """
+    WITH expo AS (
+      SELECT o_custkey AS person_id, c_nationkey AS leaf_concept,
+             CAST(o_orderdate AS TIMESTAMP) AS start_ts,
+             CAST(o_orderdate AS TIMESTAMP)
+               + ((o_orderkey % 7) + 1) * INTERVAL 1 DAY AS end_ts
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    rolled AS (
+      SELECT e.person_id, con.concept_name AS ingredient, e.start_ts, e.end_ts
+      FROM expo e
+      JOIN (SELECT n_nationkey AS descendant_id,
+                   n_regionkey + 100 AS ancestor_id FROM nation) ca
+        ON e.leaf_concept = ca.descendant_id
+      JOIN (SELECT r_regionkey + 100 AS concept_id,
+                   r_name AS concept_name FROM region) con
+        ON ca.ancestor_id = con.concept_id),
+    flagged AS (
+      SELECT person_id, ingredient, start_ts, end_ts,
+             CASE WHEN prev_max IS NULL
+                       OR start_ts > prev_max + INTERVAL 30 DAY THEN 1 ELSE 0 END AS ni
+      FROM (SELECT *, max(end_ts) OVER (PARTITION BY person_id, ingredient
+                     ORDER BY start_ts, end_ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+            FROM rolled) t),
+    isl AS (
+      SELECT *, sum(ni) OVER (PARTITION BY person_id, ingredient
+                              ORDER BY start_ts, end_ts
+                              ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged)
+    SELECT person_id, ingredient, min(start_ts) AS era_start,
+           max(end_ts) AS era_end, CAST(count(*) AS BIGINT) AS n_exposures
+    FROM isl GROUP BY person_id, ingredient, island
+    """,
+)
+def cdc_duration_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship drug_era computation, interval flavor
+    (drug_era.sql:1-135): per-row durations (end = start + days_supply *
+    INTERVAL 1 day, drug_era.sql:12-22), a 30-day persistence gap
+    (:129), and the ingredient rollup through a self-referential
+    concept/ancestor dim (:23-29 — here nation->region played as
+    leaf-concept -> ancestor-concept, both broadcast). Exercises
+    merge_eras' ``end_col`` overlapping-interval branch, not just point
+    events; the reference's theta-join islands algorithm becomes two
+    windows + one groupBy (SURVEY.md §2.6)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+
+    expo = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("o_custkey").alias("person_id"),
+            F.col("c_nationkey").alias("leaf_concept"),
+            F.col("o_orderdate").cast("timestamp").alias("start_ts"),
+            ((F.col("o_orderkey") % 7) + 1).cast("int").alias("days_supply"),
+        )
+        .withColumn(
+            "end_ts", F.col("start_ts") + F.make_dt_interval(days=F.col("days_supply"))
+        )
+    )
+    ancestor = n.select(
+        F.col("n_nationkey").alias("descendant_id"),
+        (F.col("n_regionkey") + 100).alias("ancestor_id"),
+    )
+    concept = r.select(
+        (F.col("r_regionkey") + 100).alias("concept_id"),
+        F.col("r_name").alias("concept_name"),
+    )
+    rolled = (
+        expo.join(F.broadcast(ancestor), expo.leaf_concept == ancestor.descendant_id)
+        .join(F.broadcast(concept), F.col("ancestor_id") == F.col("concept_id"))
+        .select("person_id", F.col("concept_name").alias("ingredient"), "start_ts", "end_ts")
+    )
+    eras = merge_eras(
+        rolled, ["person_id", "ingredient"], "start_ts", end_col="end_ts",
+        gap_seconds=30 * 86400,
+    )
+    return eras.select(
+        "person_id", "ingredient", "era_start", "era_end",
+        F.col("n_events").alias("n_exposures"),
+    )
+
+
+@register(
     "cdc_out_of_order",
     """
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
