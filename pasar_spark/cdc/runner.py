@@ -20,10 +20,10 @@ id counter) with LSN-range chunking:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from pasar_spark.cdc.merge import compact_buckets, merge_batch
 from pasar_spark.cdc.schema_evolution import EvolutionPlan, max_schema_ver, promote_extra
+from pasar_spark.cdc.sources import FeedSource, as_source, lsn_file_stats
 from pasar_spark.lake.table import LakeTable
 
 # The transcript target schema (BASELINE.json input_hint) + the LWW
@@ -43,49 +43,14 @@ BASE_COLUMNS: list[tuple[str, str]] = [
 KEY = ["conv_id", "turn_idx"]
 
 
-def _lsn_file_stats(path: str) -> list[tuple[str, int, int]] | None:
-    """Per-file (path, min_lsn, max_lsn) from parquet footer statistics.
-
-    Returns None when any file lacks lsn stats (callers fall back to a
-    full-dir Spark scan). O(#files) driver-side metadata reads.
-    """
-    import os
-
-    import pyarrow.parquet as pq
-
-    out = []
-    try:
-        names = [f for f in os.listdir(path) if f.endswith(".parquet")]
-        if not names:
-            return None
-        for f in names:
-            full = os.path.join(path, f)
-            md = pq.ParquetFile(full).metadata
-            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            if "lsn" not in idx:
-                return None
-            f_min = f_max = None
-            for rg in range(md.num_row_groups):
-                stats = md.row_group(rg).column(idx["lsn"]).statistics
-                if stats is None or not stats.has_min_max:
-                    return None
-                f_min = stats.min if f_min is None else min(f_min, stats.min)
-                f_max = stats.max if f_max is None else max(f_max, stats.max)
-            if f_min is None:
-                # zero row groups — Spark writes exactly this for an empty
-                # dataset; the file contributes no lsn range, skip it
-                continue
-            out.append((full, int(f_min), int(f_max)))
-    except (OSError, ValueError):
-        # ValueError covers pyarrow.lib.ArrowInvalid (truncated/partial
-        # file from a crashed writer) — fall back to the Spark scan
-        return None
-    return out
+# Footer-stat reader lives with the feed sources now (cdc/sources.py);
+# re-exported here for callers/tests that grew up with the old location.
+_lsn_file_stats = lsn_file_stats
 
 
 def _max_lsn_from_footers(path: str) -> int | None:
     """Feed tip via footer stats — a metadata read, not a column scan."""
-    stats = _lsn_file_stats(path)
+    stats = lsn_file_stats(path)
     if not stats:
         return None
     return max(hi for _, _, hi in stats)
@@ -138,35 +103,26 @@ class ReplayRunner:
     # ------------------------------------------------------------------
     def replay(
         self,
-        events: DataFrame | str,
+        events: DataFrame | str | FeedSource,
         max_events: int | None = None,
         stop_after_chunks: int | None = None,
     ) -> LakeTable:
         """Apply the change feed from the current checkpoint to its end.
 
+        ``events`` is anything :func:`as_source` accepts: a parquet WAL
+        dir path (footer-stat pruned), a live :class:`JdbcSource` /
+        custom :class:`FeedSource`, or an events DataFrame. The replay
+        loop itself never knows which — the source decides how ``tip``
+        and each LSN-range ``chunk`` are answered (SURVEY.md S2/S3).
+
         ``stop_after_chunks`` exists for crash/resume testing: it aborts
         the loop mid-stream exactly as a killed driver would.
         """
-        src = (
-            self.spark.read.parquet(events) if isinstance(events, str) else events
-        )
-        if max_events is not None:
-            src = src.where(F.col("lsn") < max_events)
+        source = as_source(self.spark, events)
 
-        # Per-file lsn ranges (one driver-side metadata pass): gives the
-        # feed tip without a column scan AND lets each chunk list only
-        # its overlapping WAL files — at 10^10 events a chunk would
-        # otherwise schedule one (empty) scan task per non-matching file.
-        file_stats = _lsn_file_stats(events) if isinstance(events, str) else None
-
-        hi = None
-        if file_stats:
-            hi = max(h for _, _, h in file_stats)
+        hi = source.tip()
         if hi is None:
-            hi_row = src.agg(F.max("lsn").alias("m")).collect()[0]
-            if hi_row["m"] is None:
-                return self.bootstrap()
-            hi = int(hi_row["m"])
+            return self.bootstrap()
         if max_events is not None:
             hi = min(hi, max_events - 1)
             if hi < 0:
@@ -178,23 +134,13 @@ class ReplayRunner:
         while lo <= hi:
             chunk_hi = min(lo + self.chunk_size - 1, hi)
             batch_id = f"lsn-{lo}-{chunk_hi}"
-            chunk_src = src
-            if file_stats:
-                overlapping = [
-                    p for p, f_lo, f_hi in file_stats
-                    if f_hi >= lo and f_lo <= chunk_hi
-                ]
-                if not overlapping:
-                    # lsn gap: nothing to apply; re-walked (cheaply) on
-                    # resume since last_lsn doesn't advance past it
-                    lo = chunk_hi + 1
-                    continue
-                chunk_src = self.spark.read.parquet(*overlapping)
-                if max_events is not None:
-                    chunk_src = chunk_src.where(F.col("lsn") < max_events)
-            chunk = chunk_src.where(
-                (F.col("lsn") >= lo) & (F.col("lsn") <= chunk_hi)
-            )
+            chunk = source.chunk(lo, chunk_hi)
+            if chunk is None:
+                # source proved the lsn range empty (footer stats / DB
+                # index): nothing to apply; re-walked (cheaply) on resume
+                # since last_lsn doesn't advance past it
+                lo = chunk_hi + 1
+                continue
 
             if not table.has_batch(batch_id):
                 if self.evolution_plan.steps:
