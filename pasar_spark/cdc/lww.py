@@ -78,36 +78,12 @@ def lww_reduce(
     return out.drop("_nn") if prefer_non_null is not None else out
 
 
-def lww_reduce_hash(
-    events: DataFrame,
-    key: list[str] | None = None,
-    payload: list[str] | None = None,
-) -> DataFrame:
-    """HashAggregate-friendly LWW variant for (ts, lsn) ordering.
-
-    ``max(struct(...))`` has a struct aggregation buffer, which Spark plans
-    as SortAggregate (per-map-partition sort). This variant packs the
-    comparator into a single decimal(38,0) — ``unix_micros(ts) * 1e11 +
-    lsn`` (fixed-width, mutable buffer → HashAggregateExec, no sort) —
-    then joins winners back to fetch the payload. Two scans + an extra
-    shuffle in exchange for no sort; bench.py decides which wins at scale.
-    Requires lsn < 1e11 (true at the 10^10-event design point).
-    """
-    key = key or DEFAULT_KEY
-    cmp = (
-        F.unix_micros(F.col("ts")).cast("decimal(27,0)") * F.lit(100_000_000_000)
-        + F.col("lsn")
-    ).cast("decimal(38,0)")
-    ev = events.withColumn("_cmp", cmp)
-    best = ev.groupBy(*key).agg(F.max("_cmp").alias("_cmp"))
-    # (key, _cmp) is unique up to exact duplicate deliveries, which
-    # dropDuplicates on the join keys removes with no extra shuffle.
-    cols = payload or [c for c in events.columns if c not in key]
-    return (
-        ev.join(best, [*key, "_cmp"], "inner")
-        .dropDuplicates([*key, "_cmp"])
-        .select(*key, *cols)
-    )
+# NOTE: a HashAggregate variant (decimal-packed comparator + join-back to
+# fetch payloads) was implemented and benchmarked head-to-head in round 2:
+# at 8M events / 80k keys on local[32] it measured 2.8x SLOWER than the
+# max(struct) SortAggregate (1.77s vs 4.94s best-of-3) — the join-back's
+# second scan + extra shuffle cost far more than the map-side sort saves.
+# Deleted rather than kept as a dead alternative path; see BENCH.md §4.
 
 
 def salted_lww_reduce(

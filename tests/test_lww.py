@@ -6,7 +6,7 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from pasar_spark.cdc.lww import lww_reduce, lww_reduce_hash, salted_lww_reduce
+from pasar_spark.cdc.lww import lww_reduce, salted_lww_reduce
 
 SCHEMA = "lsn bigint, op string, conv_id string, turn_idx int, text string, ts timestamp"
 
@@ -61,16 +61,6 @@ def test_salted_equals_unsalted(spark):
     out = salted_lww_reduce(df, n_salts=8, key=["conv_id", "turn_idx"], order=["ts", "lsn"])
     b = {(r.conv_id, r.turn_idx): (r.lsn, r.op, r.text) for r in out.collect()}
     assert a == b
-
-
-def test_hash_variant_equals_struct_max(spark):
-    df = _df(spark, ROWS + ROWS)  # incl. duplicate deliveries
-    a = _winners(df)
-    out = lww_reduce_hash(df, key=["conv_id", "turn_idx"])
-    b = {(r.conv_id, r.turn_idx): (r.lsn, r.op, r.text) for r in out.collect()}
-    assert a == b
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "HashAggregate" in plan  # decimal-packed comparator stays hashable
 
 
 def test_prefer_non_null_beats_newer_null(spark):
