@@ -39,8 +39,10 @@ BENCH_QUERIES = [
     "cdc_lww_latest",
     "cdc_sessions",
     "cdc_eras",
+    "cdc_duration_eras",
     "cdc_out_of_order",
     "cdc_mode_event_type",
+    "q_prefer_nonnull_latest",
     "q1_lineitem_agg",
     "q3_revenue_topk",
     "q_region_revenue",
@@ -52,9 +54,11 @@ BENCH_QUERIES = [
     "lang_id_eval",
     "doc_fingerprint_stats",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "knn_cosine_topk",
     "knn_lsh_topk",
     "knn_ivf_topk",
+    "knn_recall_eval",
 ]
 
 

@@ -131,8 +131,11 @@ def main():
     n_big = n_small * 4
     # big chunks: per-chunk fixed costs (driver planning, commit IO,
     # python-worker spin-up) are parallelism-independent — scaling is
-    # only observable when per-chunk compute dominates them
-    chunk = max(n_events // 2, 1_000_000)
+    # only observable when per-chunk compute dominates them.
+    # PASAR_SCALING_CHUNKS=1 replays the whole WAL as ONE chunk (the
+    # 10^10 design point: chunk ~ 10^8 events, commits amortized away).
+    n_chunks = int(os.environ.get("PASAR_SCALING_CHUNKS", "2"))
+    chunk = max(n_events // n_chunks, 1_000_000)
 
     exec_mem_mb = int(os.environ.get("PASAR_SCALING_EXEC_MEM", "6g").rstrip("g")) * 1024
 
