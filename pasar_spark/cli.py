@@ -85,6 +85,21 @@ def cmd_ingest(args) -> int:
     from pasar_spark.cdc.runner import ReplayRunner
 
     spark = _spark(args)
+    if bool(args.wal) == bool(args.jdbc_url):
+        print("error: ingest needs exactly one of --wal or --jdbc-url", file=sys.stderr)
+        return 2
+    if args.jdbc_url:
+        from pasar_spark.cdc.sources import JdbcSource
+
+        source = JdbcSource(
+            spark,
+            url=args.jdbc_url,
+            table=args.jdbc_table,
+            lsn_column=args.jdbc_lsn_column,
+            num_partitions=args.jdbc_partitions,
+        )
+    else:
+        source = args.wal
     runner = ReplayRunner(
         spark,
         args.table,
@@ -95,8 +110,19 @@ def cmd_ingest(args) -> int:
         compact_min_files=args.compact_min_files,
         evolution_plan=_load_evolution_plan(args.evolution_plan),
     )
-    t = runner.replay(args.wal, max_events=args.max_events)
+    t = runner.replay(source, max_events=args.max_events)
     print(json.dumps({"table": args.table, "last_lsn": t.last_lsn, "metrics": t.metrics}))
+    return 0
+
+
+def cmd_lookup(args) -> int:
+    spark = _spark(args)
+    t = _load_table(spark, args.table)
+    key = {t.manifest["bucket_by"]: args.key}
+    if args.turn_idx is not None:
+        key["turn_idx"] = args.turn_idx
+    rows = [r.asDict() for r in t.read_key(**key).collect()]
+    print(json.dumps({"table": args.table, "key": key, "rows": rows}, default=str))
     return 0
 
 
@@ -174,9 +200,13 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--evolution-lsn", type=int, default=None)
     g.set_defaults(fn=cmd_gen)
 
-    i = sub.add_parser("ingest", help="replay the WAL from the checkpoint to its end")
+    i = sub.add_parser("ingest", help="replay the change feed from the checkpoint to its end")
     i.add_argument("--table", required=True)
-    i.add_argument("--wal", required=True)
+    i.add_argument("--wal", default=None, help="parquet WAL dir (or use --jdbc-url)")
+    i.add_argument("--jdbc-url", default=None, help="JDBC url of the feed database (chunked cursor source)")
+    i.add_argument("--jdbc-table", default="events", help="feed table/subquery for --jdbc-url")
+    i.add_argument("--jdbc-lsn-column", default="lsn")
+    i.add_argument("--jdbc-partitions", type=int, default=8, help="parallel range reads per chunk")
     i.add_argument("--buckets", type=int, default=16)
     i.add_argument("--chunk-size", type=int, default=1_000_000)
     i.add_argument("--max-events", type=int, default=None)
@@ -212,6 +242,12 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--table", required=True)
     st.add_argument("--history", action="store_true")
     st.set_defaults(fn=cmd_stats)
+
+    lk = sub.add_parser("lookup", help="bucket-pruned point lookup by key")
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--key", required=True, help="bucket_by value (conv_id)")
+    lk.add_argument("--turn-idx", type=int, default=None)
+    lk.set_defaults(fn=cmd_lookup)
     return p
 
 

@@ -146,38 +146,59 @@ def lsh_topk(
     from pyspark.sql import Window
 
     v = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-    sig = v.select(
-        "vec_id",
-        *[
-            hyperplane_bucket(F.col("_v"), n_planes, seed=seed + 100 * t, dim=dim).alias(
-                f"_b{t}"
-            )
-            for t in range(n_tables)
-        ],
-    )
-    banded = sig.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("t"), F.col(f"_b{t}").alias("b"))
-                for t in range(n_tables)
-            ])
-        ).alias("_x"),
-    ).select("vec_id", F.col("_x.t").alias("_t"), F.col("_x.b").alias("_b"))
-
-    cand = (
-        banded.select("_t", "_b", F.col("vec_id"))
-        .join(
-            banded.select("_t", "_b", F.col("vec_id").alias("neighbor_id")),
-            ["_t", "_b"],
+    if n_tables == 1:
+        # no explode multiplication at L=1 — carry the vectors straight
+        # through the single bucket equi-join (one shuffle per side,
+        # no re-join); identical output to the general path
+        b = v.select(
+            "vec_id", "_v",
+            hyperplane_bucket(F.col("_v"), n_planes, seed=seed, dim=dim).alias("_b"),
         )
-        .where(F.col("vec_id") != F.col("neighbor_id"))
-        .dropDuplicates(["vec_id", "neighbor_id"])
-    )
-    vb = v.select(F.col("vec_id").alias("neighbor_id"), F.col("_v").alias("_w"))
-    pairs = cand.join(v, "vec_id").join(vb, "neighbor_id").withColumn(
-        "cos_sim", cosine(F.col("_v"), F.col("_w"))
-    )
+        pairs = (
+            b.join(
+                b.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("_v").alias("_w"),
+                    F.col("_b"),
+                ),
+                ["_b"],
+            )
+            .where(F.col("vec_id") != F.col("neighbor_id"))
+            .withColumn("cos_sim", cosine(F.col("_v"), F.col("_w")))
+        )
+    else:
+        sig = v.select(
+            "vec_id",
+            *[
+                hyperplane_bucket(
+                    F.col("_v"), n_planes, seed=seed + 100 * t, dim=dim
+                ).alias(f"_b{t}")
+                for t in range(n_tables)
+            ],
+        )
+        banded = sig.select(
+            "vec_id",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(t).alias("t"), F.col(f"_b{t}").alias("b"))
+                    for t in range(n_tables)
+                ])
+            ).alias("_x"),
+        ).select("vec_id", F.col("_x.t").alias("_t"), F.col("_x.b").alias("_b"))
+
+        cand = (
+            banded.select("_t", "_b", F.col("vec_id"))
+            .join(
+                banded.select("_t", "_b", F.col("vec_id").alias("neighbor_id")),
+                ["_t", "_b"],
+            )
+            .where(F.col("vec_id") != F.col("neighbor_id"))
+            .dropDuplicates(["vec_id", "neighbor_id"])
+        )
+        vb = v.select(F.col("vec_id").alias("neighbor_id"), F.col("_v").alias("_w"))
+        pairs = cand.join(v, "vec_id").join(vb, "neighbor_id").withColumn(
+            "cos_sim", cosine(F.col("_v"), F.col("_w"))
+        )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))

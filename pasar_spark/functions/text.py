@@ -25,8 +25,27 @@ STOPWORDS = {
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization (the BPE-ish regex split)."""
+    """Whitespace tokenization."""
     return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, and single punctuation
+# marks each become a token — the classic byte-pair pre-split (GPT-2's
+# regex family, simplified to an engine-portable character-class form so
+# the DuckDB oracle evaluates the identical pattern).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish regex tokenization (pre-tokenizer granularity): splits
+    punctuation off words and digit runs off text, the token-count basis
+    an LLM-data pipeline budgets with (whitespace counting undercounts
+    code/punctuation-heavy documents badly)."""
+    return F.regexp_extract_all(col, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col)).cast("long")
 
 
 def token_count(col: Column) -> Column:
@@ -182,6 +201,23 @@ def minhash_from_shingles(sh: Column, n_hashes: int = 32) -> Column:
 
 def minhash_signature(col: Column, n_hashes: int = 32, shingle_n: int = 5) -> Column:
     return minhash_from_shingles(shingles(col, shingle_n), n_hashes)
+
+
+def winnow_fingerprints(col: Column, shingle_n: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprints (the rolling-hash selection scheme
+    of Schleimer/Wilkerson/Aiken's MOSS): hash every ``shingle_n``-token
+    shingle, slide a ``window`` over the hash sequence, keep each
+    window's minimum — documents sharing content share selected
+    fingerprints, and the selection density is guaranteed (at least one
+    fingerprint per window). Pure Catalyst (transform/slice/array_min);
+    one pass over the shingle hashes. Returns array<long> (distinct).
+
+    Degenerate docs: fewer shingles than the window -> one window over
+    whatever exists (min of all hashes) -> still ≥1 fingerprint."""
+    hs = F.transform(shingles(col, shingle_n), lambda s: F.xxhash64(s))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(hs) - window, F.lit(0)))
+    wins = F.transform(idx, lambda i: F.array_min(F.slice(hs, i + 1, window)))
+    return F.array_distinct(wins)
 
 
 def simhash(col: Column, bits: int = 64) -> Column:

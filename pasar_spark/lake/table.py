@@ -203,6 +203,40 @@ class LakeTable:
             ).drop("_tombstone")
         return out
 
+    def bucket_of(self, value) -> int:
+        """The bucket a bucket_by value lands in — evaluated through the
+        SAME Spark expression as bucket_expr (xxhash64 is not exposed to
+        Python, so a 1-row driver job computes it; no table scan)."""
+        row = (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(value)), F.lit(self.manifest["n_buckets"]))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()[0]
+        )
+        return int(row["b"])
+
+    def read_key(self, **key_values) -> DataFrame:
+        """Point lookup: prune to the ONE bucket the bucket_by value
+        hashes to, then filter by the given key equalities — reading one
+        conversation touches 1/n_buckets of the table's files plus
+        parquet row-group stats within them (the lakehouse analogue of an
+        index seek; Iceberg hidden-partition pruning over
+        ``bucket(B, conv_id)``). At 100 TB / 1024 buckets a lookup reads
+        ~100 GB of file listings' worth of metadata and scans only the
+        matching bucket, not the table."""
+        bucket_by = self.manifest["bucket_by"]
+        if bucket_by not in key_values:
+            raise ValueError(
+                f"point lookup requires the bucketing column {bucket_by!r}"
+            )
+        df = self.read(buckets=[self.bucket_of(key_values[bucket_by])])
+        for k, v in key_values.items():
+            df = df.where(F.col(k) == F.lit(v))
+        return df
+
     def _read_files(self, bucket_ids: list[str]) -> DataFrame | None:
         """Union the files of the given buckets at the current logical
         schema (per-written-schema groups, field-id mapped)."""

@@ -82,6 +82,37 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
 
 
+@register(
+    "bpe_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+           round(CAST(len(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS DOUBLE)
+                 / greatest(len({_TOKS}), 1), 4) AS expansion
+    FROM documents
+    """,
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting at BPE pre-tokenizer granularity vs whitespace
+    (SURVEY-mandated 'whitespace + a BPE-ish regex' pipeline operator):
+    per doc, both counts plus the expansion factor a token-budgeting
+    pipeline uses. Pure Catalyst regexp_extract_all — the oracle runs
+    the identical pattern in DuckDB."""
+    d = spread(load(spark, sf_dir, "documents"))
+    ws = T.token_count(F.col("text"))
+    bpe = T.bpe_token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        F.round(bpe.cast("double") / F.greatest(ws, F.lit(1)).cast("double"), 4).alias(
+            "expansion"
+        ),
+    )
+
+
 def _ratio_sql(words: list[str]) -> str:
     lst = ",".join(f"'{w}'" for w in words)
     return (
@@ -489,6 +520,47 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(media, every_ms=500)
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"), F.max("frame_ms").alias("last_frame_ms")
+    )
+
+
+@register(
+    "dedup_winnow",
+    f"""
+    WITH fp AS (SELECT doc_id, fp FROM {_fixture_sql('winnow_fps.parquet')}),
+    common AS (SELECT fp FROM fp GROUP BY fp HAVING count(DISTINCT doc_id) <= 10)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    WHERE a.fp IN (SELECT fp FROM common)
+    GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2
+    """,
+)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing/MOSS) near-dup pairs over injected copies:
+    docs sharing >= 2 selected fingerprints, with boilerplate suppression
+    (fingerprints present in > 10 docs are dropped before pairing — the
+    standard winnowing practice, and the hot-key guard: a viral shingle
+    can never blow up the fp equi-join). Candidate generation is an
+    equi-join on the fingerprint value — no all-pairs stage. Oracle:
+    the same extraction over the engine's persisted fingerprint fixture
+    (sf0.01 corpus; xxhash64 is not reproducible in DuckDB)."""
+    c = _with_copies(load(spark, sf_dir, "documents"))
+    fps = c.select(
+        "doc_id", F.explode(T.winnow_fingerprints(F.col("text"), 5, 4)).alias("fp")
+    )
+    counts = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("_n"))
+    # broadcast the BOILERPLATE set (small by definition) and anti-join;
+    # broadcasting the rare side would ship nearly the whole fp space
+    common = counts.where(F.col("_n") > 10).select("fp")
+    rare = fps.join(F.broadcast(common), "fp", "left_anti")
+    a = rare.select(F.col("fp"), F.col("doc_id").alias("id_a"))
+    b = rare.select(F.col("fp"), F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fp").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
     )
 
 

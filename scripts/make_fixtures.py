@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from pasar_spark.functions.multimodal import synth_media
 from pasar_spark.functions.similarity import ivf_topk, lsh_topk
-from pasar_spark.functions.text import simhash
+from pasar_spark.functions.text import simhash, winnow_fingerprints
 from pasar_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -78,6 +78,11 @@ def main():
     )
     sigs = both.select("doc_id", simhash(F.col("text")).alias("sig"))
     write(sigs, "simhash_sigs.parquet")
+
+    fps = both.select(
+        "doc_id", F.explode(winnow_fingerprints(F.col("text"), 5, 4)).alias("fp")
+    )
+    write(fps, "winnow_fps.parquet")
 
     write(synth_media(spark, 200), "media.parquet")
     spark.stop()
