@@ -283,7 +283,10 @@ def compact_buckets(
             "_bucket", table.bucket_expr()
         )
         commit_id = table.new_commit_id()
-        new_files = table.write_files(data, commit_id)
+        # major compaction rewrites the bucket's long-lived base anyway —
+        # the one place key-clustered files are worth their sort (row-group
+        # pruning for point lookups; 2.6x too slow on the ingest path)
+        new_files = table.write_files(data, commit_id, sort_keys=True)
         table = table.commit_merge(
             replaced_buckets=major,
             new_files=new_files,

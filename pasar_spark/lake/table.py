@@ -276,11 +276,21 @@ class LakeTable:
         return out
 
     # ---------------------------------------------------------------- write
-    def write_files(self, df: DataFrame, commit_id: str) -> dict[str, list[dict]]:
+    def write_files(
+        self, df: DataFrame, commit_id: str, sort_keys: bool = False
+    ) -> dict[str, list[dict]]:
         """Physically write ``df`` (logical columns + ``_bucket``) under
         data/<commit_id>/, partitioned by bucket; returns bucket->entries
         for a subsequent commit. Does NOT commit — crash here leaves only
-        orphans outside any snapshot."""
+        orphans outside any snapshot.
+
+        ``sort_keys`` clusters rows by key within each bucket file so
+        parquet row-group min/max stats prune point lookups inside the
+        bucket (Iceberg sort-order analogue). It is OFF on the ingest hot
+        path — measured 2.6x replay slowdown (650k -> 249k ev/s) — and ON
+        for major compaction, which rewrites the long-lived base files
+        anyway: the LSM discipline (unsorted fresh deltas, sorted bases).
+        """
         cur = self.schema
         phys = [F.col(f.name).cast(f.type).alias(f"f{f.id}") for f in cur.fields]
         rel = os.path.join("data", commit_id)
@@ -293,6 +303,11 @@ class LakeTable:
         out = df.select(*phys, F.col("_bucket")).repartition(
             self.manifest["n_buckets"], F.col("_bucket")
         )
+        if sort_keys:
+            key_phys = [
+                f"f{self.schema.field_by_name(k).id}" for k in self.manifest["key"]
+            ]
+            out = out.sortWithinPartitions("_bucket", *key_phys)
         # Codec is the throughput/storage dial: snappy encodes ~2x faster
         # than zstd (measured on the transcript payload) and the replay
         # metric is events/sec; flip PASAR_PARQUET_CODEC=zstd when storage
