@@ -95,6 +95,57 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, max_dim: int = 32, strict: bool = False) -> DataFrame:
+    """Image/frame resize to fit ``max_dim`` preserving aspect ratio —
+    the standard pre-training normalization step. The pixel transform is
+    the STUB (no codec libs in this container; strict=True raises); the
+    Spark-side contract is real and verifiable: output dimensions are a
+    closed-form function of the input metadata (scale = max_dim /
+    max(w, h), never upscale), the payload is replaced by the stub's
+    deterministic re-encode, and non-image rows pass through with
+    dimensions untouched. Vectorized mapInPandas — per-batch numpy
+    arithmetic on the metadata, one stub call per row where a real
+    codec decode/encode would sit."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "media resize requires codec libraries (PIL/ffmpeg); "
+                    "not available in this environment"
+                )
+            w = pdf["width"].fillna(0).astype(int)
+            h = pdf["height"].fillna(0).astype(int)
+            is_img = pdf["kind"] == "image"
+            longest = w.combine(h, max).clip(lower=1)
+            scale = (max_dim / longest).clip(upper=1.0)
+            new_w = ((w * scale).round().astype(int)).where(is_img, w)
+            new_h = ((h * scale).round().astype(int)).where(is_img, h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": new_w.astype("int32"),
+                    "height": new_h.astype("int32"),
+                    "payload_ref": [
+                        _decode_stub(b, f"resize{int(nw)}x{int(nh)}") if img else None
+                        for b, nw, nh, img in zip(pdf["payload"], new_w, new_h, is_img)
+                    ],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("kind", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("payload_ref", StringType()),
+        ]
+    )
+    return media.mapInPandas(run, schema=schema)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling: 1 input row -> N output rows (one per sampled
     frame timestamp). Output cardinality change is why this is mapInPandas

@@ -524,6 +524,37 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_resize",
+    f"""
+    SELECT media_id, kind,
+           CAST(CASE WHEN kind = 'image'
+                     THEN round(width * least(32.0 / greatest(greatest(width, height), 1), 1.0))
+                     ELSE width END AS INT) AS width,
+           CAST(CASE WHEN kind = 'image'
+                     THEN round(height * least(32.0 / greatest(greatest(width, height), 1), 1.0))
+                     ELSE height END AS INT) AS height,
+           (kind = 'image') AS has_ref
+    FROM {_fixture_sql('media.parquet')}
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize-to-fit (max dim 32, aspect-preserving, never
+    upscale) over the media fixture — the pre-training normalization
+    step. The pixel transform is the declared stub; the CONTRACT is
+    oracle-gated: output dimensions are a closed-form function of the
+    input metadata, non-images pass through untouched, and exactly the
+    image rows carry a re-encoded payload ref."""
+    from pasar_spark.functions.multimodal import resize_media
+
+    media = spark.read.parquet(_fixture("media.parquet"))
+    out = resize_media(media, max_dim=32)
+    return out.select(
+        "media_id", "kind", "width", "height",
+        F.col("payload_ref").isNotNull().alias("has_ref"),
+    )
+
+
+@register(
     "dedup_winnow",
     f"""
     WITH fp AS (SELECT doc_id, fp FROM {_fixture_sql('winnow_fps.parquet')}),

@@ -103,6 +103,20 @@ def test_as_source_coercion(spark, tmp_path):
         as_source(spark, 42)
 
 
+def test_chunk_predicate_reaches_parquet_scan(spark, tmp_path):
+    """The LSN-range predicate must be PUSHED into the parquet scan
+    (row-group stats pruning), not evaluated post-scan — at 10^10 events
+    the difference is reading one chunk vs reading the table."""
+    wal = str(tmp_path / "wal")
+    write_change_log(change_events(spark, 2_000, n_convs=20, seed=25), wal, n_files=4)
+    chunk = ParquetDirSource(spark, wal).chunk(500, 999)
+    plan = chunk._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "GreaterThanOrEqual(lsn,500)" in pushed
+    assert "LessThanOrEqual(lsn,999)" in pushed
+
+
 def test_jdbc_source_chunk_options(spark):
     """S3 parity seam: chunk reads are pushdown subqueries with
     partitioned range scans — no OFFSET anywhere."""

@@ -64,6 +64,24 @@ def test_media_strict_mode_raises(spark):
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
 
 
+def test_resize_contract(spark):
+    from pasar_spark.functions.multimodal import resize_media
+
+    media = synth_media(spark, 12)
+    out = {r.media_id: r for r in resize_media(media, max_dim=32).collect()}
+    src = {r.media_id: r for r in media.collect()}
+    for mid, r in out.items():
+        if src[mid].kind == "image":
+            assert (r.width, r.height) == (32, 32)  # 64x64 fit to 32
+            assert r.payload_ref and r.payload_ref.startswith("resize32x32:")
+        else:
+            assert (r.width, r.height) == (64, 64)  # pass-through
+            assert r.payload_ref is None
+    with pytest.raises(Exception) as ei:
+        resize_media(media, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
 def test_frame_sampling_cardinality(spark):
     media = synth_media(spark, 9).where("kind = 'video'")
     frames = sample_frames(media, every_ms=1000)
