@@ -250,7 +250,10 @@ def ivf_topk(
         train.unpersist()
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
-    assigned = model.transform(feat).select("vec_id", "_v", "_cell")
+    # persisted: BOTH sides of the candidate join read the assignment
+    # (probe derivation and the corpus side) — without the cut point the
+    # scan + vectorization + model.transform runs twice
+    assigned = model.transform(feat).select("vec_id", "_v", "_cell").persist()
 
     # each query probes its n_probe nearest cells: distance to every
     # centroid is a small literal-array expression (n_cells x dim), then

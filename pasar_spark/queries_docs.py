@@ -418,7 +418,11 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     same floor."""
     corpus = spark.read.parquet(_fixture("ann_corpus.parquet"))
     approx = spark.read.parquet(_fixture("ann_approx.parquet"))
-    exact = brute_force_topk(corpus, corpus, k=3).select("vec_id", "neighbor_id")
+    # persisted: the exact ground truth feeds both the denominator count
+    # and the hit join — one brute-force pass, not two
+    exact = (
+        brute_force_topk(corpus, corpus, k=3).select("vec_id", "neighbor_id").persist()
+    )
     n_exact = exact.count()
     hits = approx.join(
         exact.withColumn("_hit", F.lit(1)), ["vec_id", "neighbor_id"], "left"
