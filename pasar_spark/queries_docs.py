@@ -467,7 +467,7 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates — the classic IVF-Flat shape. Rows-only here (results
     depend on the trained quantizer, not SQL-expressible); QUALITY is
     oracle-gated by knn_recall_eval, whose fixture uses these exact
-    parameters (recall@3 = 0.973 on the fixture corpus)."""
+    parameters (recall@3 = 0.927 on the fixture corpus)."""
     from pasar_spark.functions.similarity import ivf_topk
 
     emb = spread(load(spark, sf_dir, "embeddings").where("vec_id < 500"))

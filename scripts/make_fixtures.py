@@ -63,7 +63,7 @@ def main():
 
     # parameters chosen to clear the recall@3 >= 0.9 floor on this corpus
     # (near-orthogonal random vectors — the HARD case for ANN; measured:
-    # lsh 4 planes x 16 tables -> 0.916, ivf 8 cells x 6 probes -> 0.973)
+    # lsh 4 planes x 16 tables -> 0.916, ivf 8 cells x 6 probes -> 0.927)
     lsh = lsh_topk(corpus, k=3, n_planes=4, n_tables=16).select(
         F.lit("lsh").alias("method"), "vec_id", "rank", "neighbor_id"
     )
