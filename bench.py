@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "cdc_duration_eras",
     "cdc_out_of_order",
     "cdc_mode_event_type",
+    "cdc_changes_feed",
     "q_prefer_nonnull_latest",
     "q1_lineitem_agg",
     "q3_revenue_topk",

@@ -40,6 +40,18 @@ from pasar_spark.lake.table import LakeTable
 ORDER = ["ts", "lsn"]
 
 
+def _obs_get(obs: Observation, defaults: dict) -> dict:
+    """``Observation.get`` tolerating the unfilled case: a dynamic-
+    partition write of ZERO rows skips the observed stage entirely, and
+    converting the never-filled metrics row trips a JVM assertion
+    (PythonSQLUtils.toPyRow). No rows flowed through the observe node,
+    so ``defaults`` (the zero metrics) ARE the true answer."""
+    try:
+        return dict(obs.get)
+    except Exception:
+        return dict(defaults)
+
+
 def merge_batch(
     table: LakeTable,
     changes: DataFrame,
@@ -98,8 +110,8 @@ def merge_batch(
         )
         commit_id = table.new_commit_id()
         new_files = table.write_files(final, commit_id)
-        m = obs.get
-        src_stats = obs_src.get
+        m = _obs_get(obs, {"applied": 0, "deleted": 0})
+        src_stats = _obs_get(obs_src, {"events_seen": 0, "max_lsn": None})
         delta = {
             "applied": int(m["applied"] or 0),
             "deleted": int(m["deleted"] or 0),

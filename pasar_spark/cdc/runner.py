@@ -131,7 +131,22 @@ class ReplayRunner:
         table = self.bootstrap()
         lo = table.last_lsn + 1
         chunks_done = 0
+        # Real LSN spaces are sparse (WAL byte offsets, GTID gaps), so the
+        # loop must not degrade to O(lsn_range / chunk_size) empty-merge
+        # iterations. `probe_gap` consults source.next_lsn(lo) — free for
+        # parquet (footer stats), an index min-probe for JDBC — whenever a
+        # gap is evidenced: at start, after a provably-empty range, and
+        # after a merged window that saw zero events. Dense feeds never
+        # probe after the first jump. Jump targets are deterministic for
+        # an append-only feed, so batch ids stay stable across resume.
+        probe_gap = True
         while lo <= hi:
+            if probe_gap:
+                nxt = source.next_lsn(lo)
+                if nxt is None or nxt > hi:
+                    break
+                lo = max(lo, nxt)
+                probe_gap = False
             chunk_hi = min(lo + self.chunk_size - 1, hi)
             batch_id = f"lsn-{lo}-{chunk_hi}"
             chunk = source.chunk(lo, chunk_hi)
@@ -140,6 +155,7 @@ class ReplayRunner:
                 # index): nothing to apply; re-walked (cheaply) on resume
                 # since last_lsn doesn't advance past it
                 lo = chunk_hi + 1
+                probe_gap = True
                 continue
 
             if not table.has_batch(batch_id):
@@ -148,7 +164,7 @@ class ReplayRunner:
                     if ver > table.manifest["ledger"].get("feed_schema_ver", 0):
                         table = self.evolution_plan.apply_up_to(table, ver)
                 chunk = promote_extra(chunk, table)
-                table, _ = merge_batch(
+                table, delta = merge_batch(
                     table,
                     chunk,
                     batch_id,
@@ -156,6 +172,8 @@ class ReplayRunner:
                     normalizer=self.normalizer,
                     mode=self.merge_mode,
                 )
+                if delta.get("events_seen", 1) == 0:
+                    probe_gap = True  # window was empty — jump the gap
                 if self.merge_mode == "mor":
                     table, _ = compact_buckets(table, min_files=self.compact_min_files)
             lo = chunk_hi + 1

@@ -20,7 +20,13 @@ Contract: ``tip()`` returns the max LSN currently available (None for an
 empty feed); ``chunk(lo, hi)`` returns the events with ``lsn`` in
 ``[lo, hi]``, or None when the source can prove the range is empty
 without scanning (footer stats / DB index — the runner then skips the
-range without scheduling a job).
+range without scheduling a job); ``next_lsn(after)`` returns the
+smallest LSN >= ``after`` the source may still hold (conservative:
+``after`` itself when it cannot do better cheaply), or None when the
+feed is exhausted past ``after``. Real WAL/binlog LSN spaces are SPARSE
+(Postgres WAL positions are byte offsets; MySQL GTIDs skip), so the
+replay loop uses ``next_lsn`` to jump gaps — iterations stay O(data
+regions / chunk_size), never O(lsn_range / chunk_size).
 """
 
 from __future__ import annotations
@@ -78,6 +84,13 @@ class FeedSource:
     def chunk(self, lo: int, hi: int) -> DataFrame | None:
         raise NotImplementedError
 
+    def next_lsn(self, after: int) -> int | None:
+        """Smallest LSN >= ``after`` possibly present. The conservative
+        default ("try ``after``") keeps custom sources correct; override
+        where a gap jump is cheap (stats, index) so sparse LSN spaces
+        don't degrade the replay loop."""
+        return after
+
 
 class DataFrameSource(FeedSource):
     """An already-built events DataFrame (tests, composition)."""
@@ -91,6 +104,17 @@ class DataFrameSource(FeedSource):
 
     def chunk(self, lo: int, hi: int) -> DataFrame | None:
         return self.df.where((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
+
+    def next_lsn(self, after: int) -> int | None:
+        # one tiny agg (min over a pushed-down range predicate) per jump
+        # decision; trades a metadata-sized job for skipping whole empty
+        # chunk windows' merge jobs
+        row = (
+            self.df.where(F.col("lsn") >= after)
+            .agg(F.min("lsn").alias("m"))
+            .collect()[0]
+        )
+        return None if row["m"] is None else int(row["m"])
 
 
 class ParquetDirSource(FeedSource):
@@ -128,6 +152,16 @@ class ParquetDirSource(FeedSource):
             src = self.spark.read.parquet(self.path)
         return src.where((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
 
+    def next_lsn(self, after: int) -> int | None:
+        # pure driver-side metadata: the smallest point >= after covered
+        # by any file's [min,max] lsn envelope (conservative — a file
+        # overlapping `after` may lack that exact lsn, which only costs
+        # one scheduled-then-empty window, never a missed event)
+        if self._stats is None:
+            return after  # no stats — fall back to "try it"
+        cands = [max(f_lo, after) for _, f_lo, f_hi in self._stats if f_hi >= after]
+        return min(cands) if cands else None
+
 
 class JdbcSource(FeedSource):
     """Database change feed via Spark's JDBC source (SURVEY.md S3).
@@ -163,6 +197,14 @@ class JdbcSource(FeedSource):
     def tip_query(self) -> str:
         return f"(SELECT max({self.lsn_column}) AS m FROM {self.table}) t"
 
+    def next_query(self, after: int) -> str:
+        """Gap probe: an index range-scan min, the same shape a logical
+        replication client uses to find the next WAL position."""
+        return (
+            f"(SELECT min({self.lsn_column}) AS m FROM {self.table} "
+            f"WHERE {self.lsn_column} >= {int(after)}) n"
+        )
+
     def chunk_options(self, lo: int, hi: int) -> dict[str, str]:
         """The exact reader options a chunk read uses (unit-testable
         without a live database)."""
@@ -191,6 +233,15 @@ class JdbcSource(FeedSource):
         return (
             self.spark.read.format("jdbc").options(**self.chunk_options(lo, hi)).load()
         )
+
+    def next_lsn(self, after: int) -> int | None:
+        row = (
+            self.spark.read.format("jdbc")
+            .options(**self._base_options(), dbtable=self.next_query(after))
+            .load()
+            .collect()[0]
+        )
+        return None if row["m"] is None else int(row["m"])
 
 
 def as_source(spark: SparkSession, events) -> FeedSource:

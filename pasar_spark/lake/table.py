@@ -452,6 +452,181 @@ class LakeTable:
     def new_commit_id(self) -> str:
         return f"commit-{self.version:08d}-{uuid.uuid4().hex[:8]}"
 
+    # ------------------------------------------------------- snapshot ops
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental (CDC-out) read: the row-level diff between two
+        snapshots, the Iceberg/Delta change-data-feed analogue. Emits one
+        row per key whose LIVE state differs between ``from_version`` and
+        ``to_version`` (default: this snapshot), with ``_change_type`` in
+        {'insert','update','delete'}, the post-image payload (null for
+        deletes), and the pre-image resolve-order columns
+        (``_prev_<col>``) for lineage.
+
+        Scale shape: the two manifests are diffed DRIVER-SIDE first —
+        only buckets whose file lists changed between the versions are
+        read on either side (a short version gap over a 10^10-row table
+        touches a handful of buckets, so the diff is O(changed data), not
+        O(table)). Both sides arrive bucket-partitioned on the same key
+        space and LWW-resolve to one row per key before a full-outer join
+        on the key. Logical no-ops (compaction rewrites) read the bucket
+        but emit nothing.
+
+        Schema evolution is handled by reading BOTH sides at the TO
+        snapshot's logical schema (field-id mapping makes old files
+        rename/widen/add-safe), so the diff compares like with like.
+        """
+        to = self if to_version is None or to_version == self.version else (
+            LakeTable.load(self.spark, self.path, version=to_version)
+        )
+        frm_manifest = LakeTable.load(
+            self.spark, self.path, version=from_version
+        ).manifest
+        if frm_manifest["n_buckets"] != to.manifest["n_buckets"]:
+            raise ValueError("changes() across a bucket-count change")
+
+        def _sig(entries: list[dict]) -> tuple:
+            return tuple(e["path"] for e in entries)
+
+        a_buckets, b_buckets = frm_manifest["buckets"], to.manifest["buckets"]
+        changed = sorted(
+            b
+            for b in set(a_buckets) | set(b_buckets)
+            if _sig(a_buckets.get(b, [])) != _sig(b_buckets.get(b, []))
+        )
+
+        cur = to.schema
+        key = to.manifest["key"]
+        order = to.manifest.get("resolve_order", ["ts", "lsn"])
+        payload = [
+            c for c in cur.names() if c not in set(key) | set(order) | {"_tombstone"}
+        ]
+
+        from pasar_spark.cdc.lww import lww_reduce  # lazy: avoids cycle
+
+        def _state(entries: list[dict]) -> DataFrame:
+            df = to._read_entries(entries)
+            if df is None:
+                df = self.spark.createDataFrame([], cur.logical_struct())
+            # reduce unconditionally: identity on resolved buckets, the
+            # MoR resolve on unresolved ones — one code path for both
+            return lww_reduce(
+                df, key=key, order=order, payload=payload + ["_tombstone"]
+            )
+
+        a = _state([e for b in changed for e in a_buckets.get(b, [])])
+        b = _state([e for b in changed for e in b_buckets.get(b, [])])
+
+        live = lambda side: F.col(f"{side}_live")  # noqa: E731
+        a = a.select(
+            *[F.col(k).alias(f"_ak_{i}") for i, k in enumerate(key)],
+            *[F.col(c).alias(f"_a_{c}") for c in order],
+            (F.col("_tombstone").isNull() | ~F.col("_tombstone")).alias("a_live"),
+        )
+        b = b.select(
+            *key,
+            *order,
+            *payload,
+            (F.col("_tombstone").isNull() | ~F.col("_tombstone")).alias("b_live"),
+        )
+        cond = None
+        for i, k in enumerate(key):
+            c = b[k].eqNullSafe(a[f"_ak_{i}"])
+            cond = c if cond is None else cond & c
+        j = b.join(a, cond, "full_outer")
+
+        a_exists = live("a").isNotNull() & live("a")
+        b_exists = live("b").isNotNull() & live("b")
+        same_version = None
+        for c in order:
+            e = F.col(c).eqNullSafe(F.col(f"_a_{c}"))
+            same_version = e if same_version is None else same_version & e
+        change = (
+            F.when(b_exists & ~a_exists, F.lit("insert"))
+            .when(~b_exists & a_exists, F.lit("delete"))
+            .when(b_exists & a_exists & ~same_version, F.lit("update"))
+        )
+        out_key = [
+            F.coalesce(b[k], a[f"_ak_{i}"]).alias(k) for i, k in enumerate(key)
+        ]
+        return (
+            j.withColumn("_change_type", change)
+            .where(F.col("_change_type").isNotNull())
+            .select(
+                *out_key,
+                F.col("_change_type"),
+                *[
+                    F.when(b_exists, F.col(c)).alias(c)
+                    for c in [*order, *payload]
+                ],
+                *[F.col(f"_a_{c}").alias(f"_prev_{c}") for c in order],
+            )
+        )
+
+    def rollback(self, version: int) -> "LakeTable":
+        """Advance CURRENT to a NEW snapshot whose content (files, ledger,
+        schema, metrics) equals ``version`` — Iceberg rollback semantics:
+        history stays linear and append-only, nothing is deleted, and a
+        crash mid-rollback leaves the old CURRENT intact. Because the
+        ledger rolls back with the data, a subsequent replay resumes from
+        the rolled-back ``last_lsn`` and re-applies later chunks
+        exactly-once (their batch ids are no longer in the ledger)."""
+        target = LakeTable.load(self.spark, self.path, version=version)
+        m = json.loads(json.dumps(target.manifest))
+        return self._commit(m, tag=f"rollback-to-v{version}")
+
+    def expire_snapshots(
+        self, keep_last: int = 2, min_age_sec: float = 0.0
+    ) -> dict:
+        """Expire old snapshots and delete data files no retained snapshot
+        references (Iceberg expire_snapshots + remove_orphan_files).
+        Keeps the newest ``keep_last`` manifests (always including
+        CURRENT). ``min_age_sec`` guards in-flight writers: a data file
+        younger than this is never deleted even if unreferenced, because
+        an uncommitted write_files() in progress is unreferenced BY
+        DESIGN until its commit lands (Iceberg's orphan-file age check).
+
+        Time travel / changes() to expired versions stops working — that
+        is the storage-reclaim trade every lakehouse makes; run with a
+        retention window sized to the downstream consumers' lag.
+        """
+        import time as _time
+
+        meta = os.path.join(self.path, "metadata")
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(meta)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        keep = set(versions[-max(keep_last, 1):]) | {self.version}
+        referenced: set[str] = set()
+        for v in keep:
+            with open(self._manifest_path(self.path, v)) as fh:
+                man = json.load(fh)
+            for entries in man["buckets"].values():
+                referenced.update(e["path"] for e in entries)
+
+        deleted_files = 0
+        data_root = os.path.join(self.path, "data")
+        now = _time.time()
+        if os.path.isdir(data_root):
+            for dirpath, _dirs, files in os.walk(data_root, topdown=False):
+                for f in files:
+                    full = os.path.join(dirpath, f)
+                    rel = os.path.relpath(full, self.path)
+                    if rel in referenced:
+                        continue
+                    if now - os.path.getmtime(full) < min_age_sec:
+                        continue
+                    os.remove(full)
+                    deleted_files += 1
+                if not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+
+        expired = [v for v in versions if v not in keep]
+        for v in expired:
+            os.remove(self._manifest_path(self.path, v))
+        return {"expired_manifests": len(expired), "deleted_files": deleted_files}
+
     # ------------------------------------------------------------ internals
     def _commit(self, manifest: dict, tag: str | None = None) -> "LakeTable":
         new_version = self.version + 1
