@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "cdc_out_of_order",
     "cdc_mode_event_type",
     "cdc_changes_feed",
+    "cdc_time_travel",
     "q_prefer_nonnull_latest",
     "q1_lineitem_agg",
     "q3_revenue_topk",

@@ -277,7 +277,11 @@ class LakeTable:
 
     # ---------------------------------------------------------------- write
     def write_files(
-        self, df: DataFrame, commit_id: str, sort_keys: bool = False
+        self,
+        df: DataFrame,
+        commit_id: str,
+        sort_keys: bool = False,
+        n_buckets: int | None = None,
     ) -> dict[str, list[dict]]:
         """Physically write ``df`` (logical columns + ``_bucket``) under
         data/<commit_id>/, partitioned by bucket; returns bucket->entries
@@ -301,7 +305,7 @@ class LakeTable:
         # NEXT merge's base scan drowns in file overhead. One shuffle here
         # keeps the table at ~1 file per bucket per commit.
         out = df.select(*phys, F.col("_bucket")).repartition(
-            self.manifest["n_buckets"], F.col("_bucket")
+            n_buckets or self.manifest["n_buckets"], F.col("_bucket")
         )
         if sort_keys:
             key_phys = [
@@ -359,6 +363,7 @@ class LakeTable:
         for b, entries in new_files.items():
             for e in entries:
                 e["kind"] = "base"  # fully LWW-resolved rewrite
+                e["batch"] = batch_id
             m["buckets"][b] = entries
         m["unresolved"] = sorted(unresolved)
         led = m["ledger"]
@@ -388,6 +393,7 @@ class LakeTable:
         for b, entries in new_files.items():
             for e in entries:
                 e["kind"] = "delta"  # may hold >1 version per key vs base
+                e["batch"] = batch_id
             m["buckets"].setdefault(b, [])
             m["buckets"][b] = m["buckets"][b] + entries
             unresolved.add(b)
@@ -419,6 +425,7 @@ class LakeTable:
         for b, entries in new_files.items():
             for e in entries:
                 e["kind"] = "delta"
+                e["batch"] = batch_id
             kept = [e for e in m["buckets"].get(b, []) if e.get("kind", "base") == "base"]
             m["buckets"][b] = kept + entries
         led = m["ledger"]
@@ -626,6 +633,65 @@ class LakeTable:
         for v in expired:
             os.remove(self._manifest_path(self.path, v))
         return {"expired_manifests": len(expired), "deleted_files": deleted_files}
+
+    def rebucket(self, n_buckets: int) -> "LakeTable":
+        """Partition evolution: rewrite the table into a new bucket count
+        (Iceberg partition-spec evolution for the ``bucket(B, col)``
+        transform). A table sized for 10^8 rows drowns at 10^10 — every
+        bucket becomes a multi-GB read unit — so growing B is routine
+        lifecycle, not surgery.
+
+        One full-table job: read the resolved state (tombstones kept, so
+        out-of-order staler events still can't resurrect deletes), assign
+        the NEW bucket, write, swap every bucket in one atomic commit.
+        O(table) by necessity — every row moves buckets with probability
+        (1 - 1/gcd-ish) — but it is ONE shuffle + write, runs offline,
+        and the ledger survives: replay resumes from the same last_lsn
+        and merges straight into the new layout (bucket_expr reads
+        n_buckets from the manifest, so every downstream path follows).
+        """
+        if n_buckets == self.manifest["n_buckets"]:
+            return self
+        new_bucket = F.pmod(
+            F.xxhash64(F.col(self.manifest["bucket_by"])), F.lit(n_buckets)
+        ).cast("int")
+        df = self.read(include_tombstones=True).withColumn("_bucket", new_bucket)
+        commit_id = self.new_commit_id()
+        new_files = self.write_files(
+            df, commit_id, sort_keys=True, n_buckets=n_buckets
+        )
+        m = json.loads(json.dumps(self.manifest))
+        m["n_buckets"] = n_buckets
+        for entries in new_files.values():
+            for e in entries:
+                e["kind"] = "base"
+                e["batch"] = commit_id
+        m["buckets"] = new_files
+        m["unresolved"] = []
+        return self._commit(m, tag=f"rebucket-{n_buckets}")
+
+    def lineage(self) -> dict[str, list[dict]]:
+        """Per-partition provenance: for each bucket, the batches whose
+        files make up its CURRENT state — (batch id, kind, rows, path)
+        per file, in commit order. Pure manifest read (no Spark job):
+        answers \"which ingest batches does partition b's state depend
+        on\" for debugging, selective backfill, and audit without
+        touching data files. Cumulative applied/skipped/conflict counts
+        live in ``metrics()``; per-snapshot history in ``history()``."""
+        return {
+            b: [
+                {
+                    "batch": e.get("batch"),
+                    "kind": e.get("kind", "base"),
+                    "rows": e.get("rows", 0),
+                    "path": e["path"],
+                }
+                for e in entries
+            ]
+            for b, entries in sorted(
+                self.manifest["buckets"].items(), key=lambda kv: int(kv[0])
+            )
+        }
 
     # ------------------------------------------------------------ internals
     def _commit(self, manifest: dict, tag: str | None = None) -> "LakeTable":

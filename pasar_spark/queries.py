@@ -368,6 +368,54 @@ def cdc_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _two_snapshot_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Replay the events-derived change feed through the ACTUAL engine in
+    two halves (lsn <= max/2, then the rest), cached per sf_dir — the
+    deterministic two-snapshot fixture shared by the change-data-feed and
+    time-travel queries. Returns (table_path, version_of_first_half)."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pasar_spark.cdc.runner import ReplayRunner
+    from pasar_spark.lake.table import LakeTable
+
+    # the shared feed mapping + the two transcript columns the table
+    # schema carries that the events mapping doesn't (not compared by
+    # the oracles; the diff/state logic must still work around them)
+    feed = _as_change_feed(load(spark, sf_dir, "events")).withColumns(
+        {
+            "role": F.col("op"),
+            "tool": F.lit(None).cast("string"),
+        }
+    )
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        "pasar_changes_feed",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    marker = os.path.join(cache, "MARKER.json")
+    tbl_path = os.path.join(cache, "tbl")
+    if not (os.path.exists(marker) and LakeTable.exists(tbl_path)):
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        cut = feed.agg(F.max("lsn").alias("m")).collect()[0]["m"] // 2
+        one_chunk = 1 << 40  # single chunk per half: 2 data commits total
+        t1 = ReplayRunner(
+            spark, tbl_path, n_buckets=16, chunk_size=one_chunk
+        ).replay(feed, max_events=cut + 1)
+        v1 = t1.version
+        ReplayRunner(
+            spark, tbl_path, n_buckets=16, chunk_size=one_chunk
+        ).replay(feed)
+        with open(marker, "w") as fh:
+            _json.dump({"v1": v1}, fh)
+    with open(marker) as fh:
+        v1 = _json.load(fh)["v1"]
+    return tbl_path, v1
+
+
 @register(
     "cdc_changes_feed",
     f"""
@@ -412,46 +460,9 @@ def cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     content), so warmup and measured runs agree; the changes() read
     itself — manifest diff, bucket-pruned two-sided state read,
     full-outer join — runs live every call."""
-    import json as _json
-    import os
-    import shutil
-    import tempfile
-
-    from pasar_spark.cdc.runner import ReplayRunner
     from pasar_spark.lake.table import LakeTable
 
-    # the shared feed mapping + the two transcript columns the table
-    # schema carries that the events mapping doesn't (not compared by
-    # the oracle; the diff classification must still work around them)
-    feed = _as_change_feed(load(spark, sf_dir, "events")).withColumns(
-        {
-            "role": F.col("op"),
-            "tool": F.lit(None).cast("string"),
-        }
-    )
-    cache = os.path.join(
-        tempfile.gettempdir(),
-        "pasar_changes_feed",
-        sf_dir.strip("/").replace("/", "_"),
-    )
-    marker = os.path.join(cache, "MARKER.json")
-    tbl_path = os.path.join(cache, "tbl")
-    if not (os.path.exists(marker) and LakeTable.exists(tbl_path)):
-        shutil.rmtree(cache, ignore_errors=True)
-        os.makedirs(cache, exist_ok=True)
-        cut = feed.agg(F.max("lsn").alias("m")).collect()[0]["m"] // 2
-        one_chunk = 1 << 40  # single chunk per half: 2 data commits total
-        t1 = ReplayRunner(
-            spark, tbl_path, n_buckets=16, chunk_size=one_chunk
-        ).replay(feed, max_events=cut + 1)
-        v1 = t1.version
-        ReplayRunner(
-            spark, tbl_path, n_buckets=16, chunk_size=one_chunk
-        ).replay(feed)
-        with open(marker, "w") as fh:
-            _json.dump({"v1": v1}, fh)
-    with open(marker) as fh:
-        v1 = _json.load(fh)["v1"]
+    tbl_path, v1 = _two_snapshot_table(spark, sf_dir)
     table = LakeTable.load(spark, tbl_path)
     return table.changes(v1).select(
         "conv_id",
@@ -460,6 +471,38 @@ def cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsn",
         "text",
         F.col("_prev_lsn").alias("prev_lsn"),
+    )
+
+
+@register(
+    "cdc_time_travel",
+    f"""
+    WITH feed AS ({_FEED_SQL}),
+    cut AS (SELECT max(lsn) // 2 AS c FROM feed)
+    SELECT conv_id, turn_idx,
+           nfc_normalize(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text,
+           lsn
+    FROM (SELECT conv_id, turn_idx, op, text, lsn,
+                 row_number() OVER (PARTITION BY conv_id, turn_idx
+                                    ORDER BY ts DESC, lsn DESC) AS rn
+          FROM feed WHERE lsn <= (SELECT c FROM cut)) t
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: read the table AS OF an earlier snapshot (Iceberg
+    ``VERSION AS OF`` analogue). The engine serves the historical state
+    from the retained manifest — no log re-replay, no reconstruction —
+    while the oracle must recompute it from the raw feed with a window
+    over the first half. Proves snapshots are immutable: the second
+    half's commits (and any compaction) must not leak into v_half."""
+    from pasar_spark.lake.table import LakeTable
+
+    tbl_path, v1 = _two_snapshot_table(spark, sf_dir)
+    return (
+        LakeTable.load(spark, tbl_path, version=v1)
+        .read()
+        .select("conv_id", "turn_idx", "text", "lsn")
     )
 
 

@@ -195,3 +195,70 @@ def test_expire_snapshots_reclaims_only_unreferenced(spark, tmp_path):
     assert stats2["deleted_files"] >= len(orphan_files)
     assert not any(os.path.exists(f) for f in orphan_files)
     assert sorted(map(tuple, t.read().collect())) == state
+
+
+def test_rebucket_preserves_state_and_replay_continues(spark, tmp_path):
+    """Partition evolution: grow the bucket count, state identical,
+    replay resumes into the new layout, reads prune on the new expr."""
+    wal = str(tmp_path / "wal")
+    write_change_log(
+        change_events(spark, 8_000, n_convs=80, seed=51, delete_fraction=0.1),
+        wal,
+        n_files=4,
+    )
+    t = ReplayRunner(spark, str(tmp_path / "tbl"), n_buckets=4, chunk_size=4_000).replay(
+        wal, max_events=4_000
+    )
+    state_half = sorted(map(tuple, t.read().collect()))
+    lsn_half = t.last_lsn
+
+    rb = t.rebucket(16)
+    assert rb.manifest["n_buckets"] == 16
+    assert len(rb.manifest["buckets"]) > 4
+    assert rb.last_lsn == lsn_half  # ledger survives the rewrite
+    assert sorted(map(tuple, rb.read().collect())) == state_half
+
+    # replay the second half into the NEW layout; equals a straight
+    # 16-bucket replay of the whole feed
+    t2 = ReplayRunner(
+        spark, str(tmp_path / "tbl"), n_buckets=16, chunk_size=4_000
+    ).replay(wal)
+    ref = ReplayRunner(
+        spark, str(tmp_path / "ref"), n_buckets=16, chunk_size=4_000
+    ).replay(wal)
+    assert sorted(map(tuple, t2.read().collect())) == sorted(
+        map(tuple, ref.read().collect())
+    )
+
+    # bucket pruning works against the new count
+    conv = t2.read().orderBy("conv_id").limit(1).collect()[0]["conv_id"]
+    b = t2.bucket_of(conv)
+    pruned = t2.read(buckets=[b]).where(F.col("conv_id") == conv)
+    assert pruned.count() > 0
+
+    # tombstones survive the rewrite: deleted keys stay deleted
+    assert t2.read().count() == ref.read().count()
+
+
+def test_changes_across_rebucket_raises(spark, tmp_path):
+    wal = str(tmp_path / "wal")
+    write_change_log(change_events(spark, 2_000, n_convs=30, seed=52), wal, n_files=2)
+    t = ReplayRunner(spark, str(tmp_path / "t"), n_buckets=4, chunk_size=10_000).replay(wal)
+    rb = t.rebucket(8)
+    with pytest.raises(ValueError, match="bucket-count"):
+        rb.changes(t.version)
+
+
+def test_lineage_maps_buckets_to_batches(spark, tmp_path):
+    wal = str(tmp_path / "wal")
+    write_change_log(change_events(spark, 6_000, n_convs=60, seed=53), wal, n_files=3)
+    t = ReplayRunner(spark, str(tmp_path / "t"), n_buckets=4, chunk_size=2_000).replay(wal)
+    lin = t.lineage()
+    assert set(lin) == set(t.manifest["buckets"])
+    batches = {e["batch"] for es in lin.values() for e in es}
+    # every chunk batch that wrote files is traceable per bucket
+    assert any(b and b.startswith("lsn-") for b in batches)
+    # rows in lineage equal manifest row counts (no Spark job ran)
+    for b, es in lin.items():
+        assert all(e["rows"] >= 0 and e["path"] for e in es)
+        assert all(e["kind"] in ("base", "delta") for e in es)
