@@ -354,27 +354,54 @@ class LakeTable:
         tag: str | None = None,
     ) -> "LakeTable":
         """Swap the file lists of ``replaced_buckets`` for ``new_files`` and
-        advance the ledger — one atomic snapshot."""
-        m = json.loads(json.dumps(self.manifest))
-        for b in replaced_buckets:
-            m["buckets"].pop(str(b), None)
-        unresolved = set(m.get("unresolved", []))
-        unresolved -= {str(b) for b in replaced_buckets}
-        for b, entries in new_files.items():
-            for e in entries:
-                e["kind"] = "base"  # fully LWW-resolved rewrite
-                e["batch"] = batch_id
-            m["buckets"][b] = entries
-        m["unresolved"] = sorted(unresolved)
-        led = m["ledger"]
-        if batch_id in led["batch_ids"]:
-            raise CommitConflict(f"batch {batch_id} already committed")
-        led["batch_ids"] = (led["batch_ids"] + [batch_id])[-256:]
-        if last_lsn is not None:
-            led["last_lsn"] = max(led["last_lsn"], last_lsn)
-        for k, v in (metrics_delta or {}).items():
-            m["metrics"][k] = m["metrics"].get(k, 0) + v
-        return self._commit(m, tag=tag or f"batch-{batch_id}")
+        advance the ledger — one atomic snapshot.
+
+        Concurrent-writer safe (rebase): if another commit lands first,
+        the swap is re-derived against the new base. Files appended to a
+        replaced bucket AFTER this writer read it (a racing ingest) are
+        NOT covered by the rewrite, so they survive the swap and the
+        bucket stays unresolved — the LWW read resolves rewrite + newer
+        deltas, and the next compaction folds them."""
+        # what this writer's rewrite actually covered: the bucket file
+        # sets as of ITS read snapshot
+        covered = {
+            str(b): {e["path"] for e in self.manifest["buckets"].get(str(b), [])}
+            for b in replaced_buckets
+        }
+
+        def build(base: "LakeTable") -> dict:
+            m = json.loads(json.dumps(base.manifest))
+            unresolved = set(m.get("unresolved", []))
+            for b in replaced_buckets:
+                b = str(b)
+                survivors = [
+                    e
+                    for e in m["buckets"].get(b, [])
+                    if e["path"] not in covered[b]
+                ]
+                if survivors:
+                    m["buckets"][b] = survivors
+                    unresolved.add(b)
+                else:
+                    m["buckets"].pop(b, None)
+                    unresolved.discard(b)
+            for b, entries in new_files.items():
+                for e in entries:
+                    e["kind"] = "base"  # fully LWW-resolved rewrite
+                    e["batch"] = batch_id
+                m["buckets"][b] = entries + m["buckets"].get(b, [])
+            m["unresolved"] = sorted(unresolved)
+            led = m["ledger"]
+            if batch_id in led["batch_ids"]:
+                raise CommitConflict(f"batch {batch_id} already committed")
+            led["batch_ids"] = (led["batch_ids"] + [batch_id])[-256:]
+            if last_lsn is not None:
+                led["last_lsn"] = max(led["last_lsn"], last_lsn)
+            for k, v in (metrics_delta or {}).items():
+                m["metrics"][k] = m["metrics"].get(k, 0) + v
+            return m
+
+        return self._commit_rebasing(build, batch_id, tag or f"batch-{batch_id}")
 
     def commit_append(
         self,
@@ -387,26 +414,36 @@ class LakeTable:
         """Merge-on-read commit: APPEND delta files to their buckets and
         mark those buckets unresolved (reads LWW-resolve them). O(changes)
         per commit regardless of table size — the 10^10-event write path;
-        read cost is bounded by compaction (cdc/merge.py compact_buckets)."""
-        m = json.loads(json.dumps(self.manifest))
-        unresolved = set(m.get("unresolved", []))
-        for b, entries in new_files.items():
-            for e in entries:
-                e["kind"] = "delta"  # may hold >1 version per key vs base
-                e["batch"] = batch_id
-            m["buckets"].setdefault(b, [])
-            m["buckets"][b] = m["buckets"][b] + entries
-            unresolved.add(b)
-        m["unresolved"] = sorted(unresolved)
-        led = m["ledger"]
-        if batch_id in led["batch_ids"]:
-            raise CommitConflict(f"batch {batch_id} already committed")
-        led["batch_ids"] = (led["batch_ids"] + [batch_id])[-256:]
-        if last_lsn is not None:
-            led["last_lsn"] = max(led["last_lsn"], last_lsn)
-        for k, v in (metrics_delta or {}).items():
-            m["metrics"][k] = m["metrics"].get(k, 0) + v
-        return self._commit(m, tag=tag or f"batch-{batch_id}")
+        read cost is bounded by compaction (cdc/merge.py compact_buckets).
+
+        Concurrent-writer safe (rebase): an append commutes with any
+        other commit — LWW resolution is order-independent — so losing
+        the version race just re-applies the same append on the winner's
+        manifest. A concurrent twin applying the SAME batch id resolves
+        to exactly-once (the loser adopts the winner's commit)."""
+
+        def build(base: "LakeTable") -> dict:
+            m = json.loads(json.dumps(base.manifest))
+            unresolved = set(m.get("unresolved", []))
+            for b, entries in new_files.items():
+                for e in entries:
+                    e["kind"] = "delta"  # may hold >1 version per key vs base
+                    e["batch"] = batch_id
+                m["buckets"].setdefault(b, [])
+                m["buckets"][b] = m["buckets"][b] + entries
+                unresolved.add(b)
+            m["unresolved"] = sorted(unresolved)
+            led = m["ledger"]
+            if batch_id in led["batch_ids"]:
+                raise CommitConflict(f"batch {batch_id} already committed")
+            led["batch_ids"] = (led["batch_ids"] + [batch_id])[-256:]
+            if last_lsn is not None:
+                led["last_lsn"] = max(led["last_lsn"], last_lsn)
+            for k, v in (metrics_delta or {}).items():
+                m["metrics"][k] = m["metrics"].get(k, 0) + v
+            return m
+
+        return self._commit_rebasing(build, batch_id, tag or f"batch-{batch_id}")
 
     def commit_replace_deltas(
         self,
@@ -420,21 +457,50 @@ class LakeTable:
         flag (reads still LWW-resolve base vs delta). Write cost is
         O(deltas) — never O(bucket) — which keeps total write
         amplification logarithmic over a long replay instead of the
-        quadratic full-rewrite-every-K-chunks of major-only compaction."""
-        m = json.loads(json.dumps(self.manifest))
-        for b, entries in new_files.items():
-            for e in entries:
-                e["kind"] = "delta"
-                e["batch"] = batch_id
-            kept = [e for e in m["buckets"].get(b, []) if e.get("kind", "base") == "base"]
-            m["buckets"][b] = kept + entries
-        led = m["ledger"]
-        if batch_id in led["batch_ids"]:
-            raise CommitConflict(f"batch {batch_id} already committed")
-        led["batch_ids"] = (led["batch_ids"] + [batch_id])[-256:]
-        for k, v in (metrics_delta or {}).items():
-            m["metrics"][k] = m["metrics"].get(k, 0) + v
-        return self._commit(m, tag=tag or f"batch-{batch_id}")
+        quadratic full-rewrite-every-K-chunks of major-only compaction.
+
+        Concurrent-writer safe (rebase): the fold covers the deltas this
+        writer READ; deltas appended since (racing ingest) are preserved
+        on top of the folded one, and the current base files are taken
+        from the WINNING manifest (a racing major compaction may have
+        replaced them — folded deltas re-resolve idempotently under LWW).
+        """
+        folded = {
+            b: {
+                e["path"]
+                for e in self.manifest["buckets"].get(b, [])
+                if e.get("kind", "base") == "delta"
+            }
+            for b in new_files
+        }
+
+        def build(base: "LakeTable") -> dict:
+            m = json.loads(json.dumps(base.manifest))
+            unresolved = set(m.get("unresolved", []))
+            for b, entries in new_files.items():
+                for e in entries:
+                    e["kind"] = "delta"
+                    e["batch"] = batch_id
+                cur = m["buckets"].get(b, [])
+                bases = [e for e in cur if e.get("kind", "base") == "base"]
+                newer = [
+                    e
+                    for e in cur
+                    if e.get("kind", "base") == "delta"
+                    and e["path"] not in folded[b]
+                ]
+                m["buckets"][b] = bases + entries + newer
+                unresolved.add(b)
+            m["unresolved"] = sorted(unresolved)
+            led = m["ledger"]
+            if batch_id in led["batch_ids"]:
+                raise CommitConflict(f"batch {batch_id} already committed")
+            led["batch_ids"] = (led["batch_ids"] + [batch_id])[-256:]
+            for k, v in (metrics_delta or {}).items():
+                m["metrics"][k] = m["metrics"].get(k, 0) + v
+            return m
+
+        return self._commit_rebasing(build, batch_id, tag or f"batch-{batch_id}")
 
     def bucket_entries(self, bucket: str, kind: str | None = None) -> list[dict]:
         entries = self.manifest["buckets"].get(str(bucket), [])
@@ -694,6 +760,45 @@ class LakeTable:
         }
 
     # ------------------------------------------------------------ internals
+    def _commit_rebasing(
+        self, build, batch_id: str, tag: str, max_attempts: int = 16
+    ) -> "LakeTable":
+        """Optimistic concurrency (Iceberg's commit strategy): land the
+        manifest produced by ``build(base_table)``; on losing the version
+        race (O_EXCL refuses the manifest file), reload CURRENT, re-derive
+        against the winner's manifest, retry. ``build`` must be a pure
+        function of the base manifest — data files are already on disk,
+        only manifest math re-runs, so a retry costs one JSON read/write.
+
+        If a reload reveals ``batch_id`` already in the ledger, a
+        concurrent twin applied the SAME batch: adopt its commit
+        (exactly-once across racing writers, not an error)."""
+        import time as _time
+
+        base = self
+        for attempt in range(max_attempts):
+            m = build(base)
+            try:
+                return base._commit(m, tag=tag)
+            except FileExistsError:
+                reloaded = LakeTable.load(self.spark, self.path)
+                # A manifest that exists is complete (link-published), so
+                # if the winner crashed before flipping CURRENT we can
+                # roll the pointer forward ourselves and rebase on it.
+                while os.path.exists(
+                    self._manifest_path(self.path, reloaded.version + 1)
+                ):
+                    self._flip_current(self.path, reloaded.version + 1)
+                    reloaded = LakeTable.load(self.spark, self.path)
+                if batch_id in reloaded.manifest["ledger"]["batch_ids"]:
+                    return reloaded
+                if reloaded.version <= base.version:
+                    _time.sleep(0.02 * (attempt + 1))  # CURRENT mid-flip
+                base = reloaded
+        raise CommitConflict(
+            f"lost {max_attempts} consecutive commit races for {batch_id}"
+        )
+
     def _commit(self, manifest: dict, tag: str | None = None) -> "LakeTable":
         new_version = self.version + 1
         manifest["version"] = new_version
@@ -711,10 +816,20 @@ class LakeTable:
     @staticmethod
     def _write_manifest(path: str, version: int, manifest: dict) -> None:
         target = LakeTable._manifest_path(path, version)
-        # O_EXCL: two concurrent writers cannot both claim this version.
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as fh:
+        # Write the full content to a temp file, then CLAIM the version
+        # with a hard link — link(2) fails with EEXIST if another writer
+        # got there first (the O_EXCL race guard), and the linked file is
+        # complete by construction, so a manifest that EXISTS is always
+        # valid: the commit point is the link, and a crash between link
+        # and the CURRENT flip is repairable by rolling CURRENT forward
+        # (_commit_rebasing does; readers just see the older snapshot).
+        tmp = os.path.join(path, "metadata", f".manifest.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
             json.dump(manifest, fh)
+        try:
+            os.link(tmp, target)
+        finally:
+            os.unlink(tmp)
 
     @staticmethod
     def _flip_current(path: str, version: int) -> None:
