@@ -635,6 +635,23 @@ class LakeTable:
             )
         )
 
+    @staticmethod
+    def poll_changes(
+        spark: SparkSession, path: str, from_version: int
+    ) -> tuple[DataFrame | None, int]:
+        """Tail the change-data-feed: the downstream-consumer loop
+        ``while True: df, v = poll_changes(spark, path, v); ...``.
+        Returns (None, from_version) when no snapshot landed since
+        ``from_version`` (a CURRENT pointer read — no Spark job), else
+        (changes(from_version), current_version). Consumers persist the
+        returned version as their own checkpoint; because ``changes``
+        diffs LIVE states, a crash between processing and checkpointing
+        re-emits the same (idempotent) diff."""
+        cur = LakeTable.load(spark, path)
+        if cur.version <= from_version:
+            return None, from_version
+        return cur.changes(from_version), cur.version
+
     def rollback(self, version: int) -> "LakeTable":
         """Advance CURRENT to a NEW snapshot whose content (files, ledger,
         schema, metrics) equals ``version`` — Iceberg rollback semantics:
@@ -778,6 +795,11 @@ class LakeTable:
         base = self
         for attempt in range(max_attempts):
             m = build(base)
+            if attempt:
+                # surfaced next to applied/skipped: how contended commits are
+                m["metrics"]["commit_races"] = (
+                    m["metrics"].get("commit_races", 0) + attempt
+                )
             try:
                 return base._commit(m, tag=tag)
             except FileExistsError:

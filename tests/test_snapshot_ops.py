@@ -262,3 +262,29 @@ def test_lineage_maps_buckets_to_batches(spark, tmp_path):
     for b, es in lin.items():
         assert all(e["rows"] >= 0 and e["path"] for e in es)
         assert all(e["kind"] in ("base", "delta") for e in es)
+
+
+def test_poll_changes_tails_the_feed(spark, tmp_path):
+    """Downstream-consumer loop: poll, apply, checkpoint the version."""
+    wal = str(tmp_path / "wal")
+    write_change_log(change_events(spark, 6_000, n_convs=60, seed=71), wal, n_files=3)
+    tbl = str(tmp_path / "tbl")
+    t1 = ReplayRunner(spark, tbl, n_buckets=4, chunk_size=3_000).replay(
+        wal, max_events=3_000
+    )
+    v = t1.version
+
+    # nothing new -> no job, version unchanged
+    df, v2 = LakeTable.poll_changes(spark, tbl, v)
+    assert df is None and v2 == v
+
+    # a new half lands; poll returns the diff up to the new tip
+    t2 = ReplayRunner(spark, tbl, n_buckets=4, chunk_size=3_000).replay(wal)
+    df, v3 = LakeTable.poll_changes(spark, tbl, v)
+    assert v3 == t2.version
+    got = {(r["conv_id"], r["turn_idx"], r["_change_type"]) for r in df.collect()}
+    assert got == _brute_diff(spark, tbl, v, t2)
+
+    # consumer is caught up again
+    df, v4 = LakeTable.poll_changes(spark, tbl, v3)
+    assert df is None and v4 == v3
