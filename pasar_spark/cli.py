@@ -181,6 +181,56 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_changes(args) -> int:
+    spark = _spark(args)
+    t = _load_table(spark, args.table)
+    ch = t.changes(args.since, to_version=args.to)
+    if args.limit:
+        ch = ch.limit(args.limit)
+    rows = [r.asDict() for r in ch.collect()]
+    print(
+        json.dumps(
+            {"table": args.table, "from": args.since, "to": args.to or t.version,
+             "count": len(rows), "changes": rows},
+            default=str,
+        )
+    )
+    return 0
+
+
+def cmd_rollback(args) -> int:
+    spark = _spark(args)
+    t = _load_table(spark, args.table).rollback(args.to)
+    print(json.dumps({"table": args.table, "version": t.version, "last_lsn": t.last_lsn}))
+    return 0
+
+
+def cmd_expire(args) -> int:
+    spark = _spark(args)
+    stats = _load_table(spark, args.table).expire_snapshots(
+        keep_last=args.keep_last, min_age_sec=args.min_age_sec
+    )
+    print(json.dumps({"table": args.table, **stats}))
+    return 0
+
+
+def cmd_rebucket(args) -> int:
+    spark = _spark(args)
+    t = _load_table(spark, args.table).rebucket(args.buckets)
+    print(json.dumps({"table": args.table, "version": t.version, "n_buckets": args.buckets}))
+    return 0
+
+
+def cmd_lineage(args) -> int:
+    spark = _spark(args)
+    t = _load_table(spark, args.table)
+    lin = t.lineage()
+    if args.bucket is not None:
+        lin = {str(args.bucket): lin.get(str(args.bucket), [])}
+    print(json.dumps({"table": args.table, "version": t.version, "lineage": lin}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pasar_spark", description=__doc__)
     p.add_argument("--master", default=None, help="spark master (default: local[*] or $PASAR_SPARK_MASTER)")
@@ -248,6 +298,34 @@ def build_parser() -> argparse.ArgumentParser:
     lk.add_argument("--key", required=True, help="bucket_by value (conv_id)")
     lk.add_argument("--turn-idx", type=int, default=None)
     lk.set_defaults(fn=cmd_lookup)
+
+    ch = sub.add_parser("changes", help="change-data-feed between two snapshots")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--since", type=int, required=True, help="from version")
+    ch.add_argument("--to", type=int, default=None, help="to version (default CURRENT)")
+    ch.add_argument("--limit", type=int, default=1000)
+    ch.set_defaults(fn=cmd_changes)
+
+    rb = sub.add_parser("rollback", help="restore a prior snapshot (append-only)")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--to", type=int, required=True, help="version to restore")
+    rb.set_defaults(fn=cmd_rollback)
+
+    ex = sub.add_parser("expire", help="expire snapshots + delete unreferenced files")
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--keep-last", type=int, default=2)
+    ex.add_argument("--min-age-sec", type=float, default=3600.0)
+    ex.set_defaults(fn=cmd_expire)
+
+    rk = sub.add_parser("rebucket", help="rewrite into a new bucket count")
+    rk.add_argument("--table", required=True)
+    rk.add_argument("--buckets", type=int, required=True)
+    rk.set_defaults(fn=cmd_rebucket)
+
+    ln = sub.add_parser("lineage", help="per-bucket batch/file provenance")
+    ln.add_argument("--table", required=True)
+    ln.add_argument("--bucket", type=int, default=None)
+    ln.set_defaults(fn=cmd_lineage)
     return p
 
 
