@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "cdc_mode_event_type",
     "cdc_changes_feed",
     "cdc_time_travel",
+    "cdc_partitioned_feed",
     "q_prefer_nonnull_latest",
     "q1_lineitem_agg",
     "q3_revenue_topk",

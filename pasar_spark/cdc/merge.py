@@ -59,6 +59,7 @@ def merge_batch(
     last_lsn: int | None = None,
     normalizer: str = "arrow",  # 'arrow' | 'native' | 'none'
     mode: str = "cow",  # 'cow' (eager merge) | 'mor' (append deltas)
+    partition_offsets: dict | None = None,
 ) -> tuple[LakeTable, dict]:
     """Apply one chunk of change events; returns (new table, metrics delta).
 
@@ -122,7 +123,11 @@ def merge_batch(
                 int(src_stats["max_lsn"]) if src_stats["max_lsn"] is not None else None
             )
         table = table.commit_append(
-            new_files, batch_id, last_lsn=last_lsn, metrics_delta=delta
+            new_files,
+            batch_id,
+            last_lsn=last_lsn,
+            metrics_delta=delta,
+            partition_offsets=partition_offsets,
         )
         return table, delta
 
@@ -211,6 +216,7 @@ def merge_batch(
             batch_id=batch_id,
             last_lsn=last_lsn,
             metrics_delta=delta,
+            partition_offsets=partition_offsets,
         )
         return table, delta
     finally:

@@ -352,6 +352,7 @@ class LakeTable:
         last_lsn: int | None = None,
         metrics_delta: dict | None = None,
         tag: str | None = None,
+        partition_offsets: dict | None = None,
     ) -> "LakeTable":
         """Swap the file lists of ``replaced_buckets`` for ``new_files`` and
         advance the ledger — one atomic snapshot.
@@ -397,6 +398,9 @@ class LakeTable:
             led["batch_ids"] = (led["batch_ids"] + [batch_id])[-256:]
             if last_lsn is not None:
                 led["last_lsn"] = max(led["last_lsn"], last_lsn)
+            sp = led.setdefault("source_partitions", {})
+            for pt, off in (partition_offsets or {}).items():
+                sp[str(pt)] = max(sp.get(str(pt), -1), int(off))
             for k, v in (metrics_delta or {}).items():
                 m["metrics"][k] = m["metrics"].get(k, 0) + v
             return m
@@ -410,6 +414,7 @@ class LakeTable:
         last_lsn: int | None = None,
         metrics_delta: dict | None = None,
         tag: str | None = None,
+        partition_offsets: dict | None = None,
     ) -> "LakeTable":
         """Merge-on-read commit: APPEND delta files to their buckets and
         mark those buckets unresolved (reads LWW-resolve them). O(changes)
@@ -420,7 +425,13 @@ class LakeTable:
         other commit — LWW resolution is order-independent — so losing
         the version race just re-applies the same append on the winner's
         manifest. A concurrent twin applying the SAME batch id resolves
-        to exactly-once (the loser adopts the winner's commit)."""
+        to exactly-once (the loser adopts the winner's commit).
+
+        ``partition_offsets`` checkpoints per-source-partition progress
+        (Kafka-style partitioned feeds, where offsets are only monotonic
+        WITHIN a partition) in the same atomic commit as the data —
+        monotone max-merge per partition, so rebases and out-of-order
+        committers can never move a checkpoint backwards."""
 
         def build(base: "LakeTable") -> dict:
             m = json.loads(json.dumps(base.manifest))
@@ -439,6 +450,9 @@ class LakeTable:
             led["batch_ids"] = (led["batch_ids"] + [batch_id])[-256:]
             if last_lsn is not None:
                 led["last_lsn"] = max(led["last_lsn"], last_lsn)
+            sp = led.setdefault("source_partitions", {})
+            for p, off in (partition_offsets or {}).items():
+                sp[str(p)] = max(sp.get(str(p), -1), int(off))
             for k, v in (metrics_delta or {}).items():
                 m["metrics"][k] = m["metrics"].get(k, 0) + v
             return m
@@ -517,6 +531,14 @@ class LakeTable:
     @property
     def last_lsn(self) -> int:
         return self.manifest["ledger"]["last_lsn"]
+
+    def source_offset(self, partition) -> int:
+        """Last committed offset for a source partition (-1 = nothing
+        applied yet) — the per-partition resume point for partitioned
+        feeds, checkpointed atomically with the data."""
+        return self.manifest["ledger"].get("source_partitions", {}).get(
+            str(partition), -1
+        )
 
     @property
     def metrics(self) -> dict:

@@ -475,6 +475,61 @@ def cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_partitioned_feed",
+    f"""
+    WITH feed AS ({_FEED_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM feed)
+    SELECT conv_id, turn_idx,
+           nfc_normalize(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text,
+           lsn
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_partitioned_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-feed replay (Kafka/binlog-shard shape): the feed is
+    split into 3 key-hash partitions — each a separate source with its
+    own offset space, sparse in the global lsn domain — and replayed
+    through ``replay_partitions`` with per-partition offset checkpoints.
+    Final state must equal the single-feed LWW oracle: partition order
+    and interleaving are invisible under LWW. Table build cached per
+    sf_dir (deterministic); the read runs live."""
+    import os
+    import shutil
+    import tempfile
+
+    from pasar_spark.cdc.runner import ReplayRunner
+    from pasar_spark.lake.table import LakeTable
+
+    feed = _as_change_feed(load(spark, sf_dir, "events")).withColumns(
+        {"role": F.col("op"), "tool": F.lit(None).cast("string")}
+    )
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        "pasar_partitioned_feed",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    tbl_path = os.path.join(cache, "tbl")
+    if not LakeTable.exists(tbl_path):
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        parts = {
+            p: feed.where(F.pmod(F.xxhash64("conv_id"), F.lit(3)) == p)
+            for p in range(3)
+        }
+        ReplayRunner(
+            spark, tbl_path, n_buckets=16, chunk_size=1 << 40
+        ).replay_partitions(parts)
+    return (
+        LakeTable.load(spark, tbl_path)
+        .read()
+        .select("conv_id", "turn_idx", "text", "lsn")
+    )
+
+
+@register(
     "cdc_time_travel",
     f"""
     WITH feed AS ({_FEED_SQL}),
