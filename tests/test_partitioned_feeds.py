@@ -107,3 +107,35 @@ def test_offsets_survive_in_one_atomic_commit(spark, split_feed, tmp_path):
                     .count()
                 )
                 assert beyond == 0
+
+
+def test_concurrent_partition_writers(spark, split_feed, tmp_path):
+    """One writer per partition, racing through the optimistic commit
+    protocol — the real-cluster deployment shape. Final state must equal
+    the single-feed replay regardless of commit interleaving."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    union, parts = split_feed
+    tbl = str(tmp_path / "t")
+    ReplayRunner(spark, tbl, n_buckets=4, chunk_size=1_500).bootstrap()
+
+    def run(p):
+        return ReplayRunner(
+            spark, tbl, n_buckets=4, chunk_size=1_500
+        ).replay_partitions({p: parts[p]})
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(run, sorted(parts)))
+
+    t = LakeTable.load(spark, tbl)
+    ref = ReplayRunner(
+        spark, str(tmp_path / "ref"), n_buckets=4, chunk_size=1_500
+    ).replay(union)
+    assert _state(t) == _state(ref)
+    # every partition's checkpoint reached its feed tip
+    tips = {
+        p: spark.read.parquet(parts[p]).agg(F.max("lsn")).collect()[0][0]
+        for p in parts
+    }
+    for p in parts:
+        assert t.source_offset(p) == tips[p]
