@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "cdc_changes_feed",
     "cdc_time_travel",
     "cdc_partitioned_feed",
+    "cdc_partial_updates",
     "q_prefer_nonnull_latest",
     "q1_lineitem_agg",
     "q3_revenue_topk",

@@ -86,6 +86,52 @@ def lww_reduce(
 # Deleted rather than kept as a dead alternative path; see BENCH.md §4.
 
 
+def lww_reduce_partial(
+    events: DataFrame,
+    key: list[str] | None = None,
+    order: list[str] | None = None,
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """Per-COLUMN last-writer-wins — CDC patch semantics.
+
+    Many change feeds send partial updates: an event carries only the
+    columns it changes, the rest NULL (Debezium without full row images,
+    sparse UPDATEs). Whole-row LWW would null out untouched columns; the
+    patch rule is: each payload column independently resolves to its most
+    recent NON-NULL value, while the row-level ``order`` columns report
+    the overall latest event (the key's version).
+
+    Still one aggregate with map-side combine — per column,
+    ``max(CASE WHEN col IS NOT NULL THEN struct(order..., col) END)``
+    (max_by over the non-null subset; NULLs sort below any struct, so no
+    filter is needed) — which keeps the hot-key behavior of
+    :func:`lww_reduce`: no window, no sort, partial aggregation per map
+    task. Cost scales with #payload columns (one packed struct each), the
+    same trade Debezium consumers make materializing patch streams.
+    """
+    key = key or DEFAULT_KEY
+    order = order or DEFAULT_ORDER
+    if payload is None:
+        payload = [c for c in events.columns if c not in set(key) | set(order)]
+    ostruct = F.struct(*[F.col(o) for o in order])
+    aggs = [F.max(ostruct).alias("_latest")]
+    for c in payload:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(*[F.col(o) for o in order], F.col(c).alias("_v")),
+                )
+            ).alias(f"_w_{c}")
+        )
+    g = events.groupBy(*key).agg(*aggs)
+    return g.select(
+        *key,
+        *[F.col(f"_latest.{o}").alias(o) for o in order],
+        *[F.col(f"_w_{c}._v").alias(c) for c in payload],
+    )
+
+
 def salted_lww_reduce(
     events: DataFrame,
     n_salts: int = 16,

@@ -530,6 +530,46 @@ def cdc_partitioned_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_partial_updates",
+    """
+    WITH feed AS (
+      SELECT user_id, event_type, ts, event_id AS lsn,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value,
+             CASE WHEN event_id % 4 = 1 THEN NULL ELSE props END AS props,
+             CAST(epoch(ts) AS BIGINT) * 100000000 + event_id AS ord
+      FROM events)
+    SELECT user_id, event_type,
+           arg_max(ts, ord)  AS ts,
+           arg_max(lsn, ord) AS lsn,
+           arg_max(value, ord) FILTER (WHERE value IS NOT NULL) AS value,
+           arg_max(props, ord) FILTER (WHERE props IS NOT NULL) AS props
+    FROM feed GROUP BY user_id, event_type
+    """,
+)
+def cdc_partial_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column LWW — CDC patch semantics. The feed simulates partial
+    updates (Debezium without full row images): `value` is absent on
+    every third event, `props` on every fourth. Whole-row LWW would null
+    untouched columns; the patch rule resolves EACH column to its most
+    recent non-null value while (ts, lsn) report the key's overall
+    latest version. One aggregate, map-side combined (cdc/lww.py
+    lww_reduce_partial)."""
+    from pasar_spark.cdc.lww import lww_reduce_partial
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 4 == 1, F.lit(None)).otherwise(F.col("props")).alias("props"),
+    )
+    return lww_reduce_partial(
+        ev, key=["user_id", "event_type"], order=["ts", "lsn"], payload=["value", "props"]
+    ).select("user_id", "event_type", "ts", "lsn", "value", "props")
+
+
+@register(
     "cdc_time_travel",
     f"""
     WITH feed AS ({_FEED_SQL}),

@@ -105,3 +105,79 @@ def test_lww_plan_has_mapside_combine_single_shuffle(spark):
     assert "partial_max" in plan
     assert plan.count("Exchange") == 1
     assert "Window" not in plan
+
+
+def test_partial_updates_per_column_winners(spark):
+    """CDC patch semantics: each column takes its latest NON-NULL value;
+    (ts, lsn) report the key's overall latest event."""
+    from pasar_spark.cdc.lww import lww_reduce_partial
+
+    rows = [
+        # key (a,0): text set at lsn 1, patched at lsn 3; lsn 4 touches
+        # nothing (both payload cols null) but IS the latest version
+        (1, "U", "a", 0, "first", _ts("2025-01-01 00:00:00")),
+        (3, "U", "a", 0, "patched", _ts("2025-01-01 00:10:00")),
+        (4, "U", "a", 0, None, _ts("2025-01-01 00:20:00")),
+        # key (a,1): never received a text -> stays null
+        (5, "U", "a", 1, None, _ts("2025-01-01 00:00:00")),
+        # key (b,0): out-of-order patch (older ts arrives later in feed
+        # order) must NOT override the newer value
+        (7, "U", "b", 0, "newer", _ts("2025-01-01 00:30:00")),
+        (6, "U", "b", 0, "older", _ts("2025-01-01 00:05:00")),
+    ]
+    df = _df(spark, rows)
+    out = lww_reduce_partial(
+        df, key=["conv_id", "turn_idx"], order=["ts", "lsn"], payload=["text"]
+    )
+    got = {(r.conv_id, r.turn_idx): (r.lsn, r.text) for r in out.collect()}
+    assert got == {
+        ("a", 0): (4, "patched"),  # latest version lsn=4, text from lsn=3
+        ("a", 1): (5, None),
+        ("b", 0): (7, "newer"),
+    }
+
+
+def test_partial_equals_bruteforce_window(spark):
+    """Property: per-column winners == last non-null value per column in
+    a window scan, on a generated feed with injected nulls."""
+    from pyspark.sql import Window
+
+    from pasar_spark.cdc.lww import lww_reduce_partial
+    from pasar_spark.datagen import change_events
+
+    ev = (
+        change_events(spark, 3_000, n_convs=40, seed=91)
+        .withColumn(
+            "text", F.when(F.col("lsn") % 3 == 0, F.lit(None)).otherwise(F.col("text"))
+        )
+        .select("conv_id", "turn_idx", "ts", "lsn", "text")
+    )
+    got = lww_reduce_partial(
+        ev, key=["conv_id", "turn_idx"], order=["ts", "lsn"], payload=["text"]
+    )
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.desc("ts"), F.desc("lsn"))
+    brute = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "last_text",
+            F.first("text", ignorenulls=True).over(
+                w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            ),
+        )
+        .where("rn = 1")
+        .select("conv_id", "turn_idx", "ts", "lsn", F.col("last_text").alias("text"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_partial_reduce_is_map_side_combined(spark):
+    from pasar_spark.cdc.lww import lww_reduce_partial
+
+    df = _df(spark, ROWS)
+    plan = (
+        lww_reduce_partial(df, key=["conv_id", "turn_idx"], order=["ts", "lsn"])
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert "partial_max" in plan and "Window" not in plan
