@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "cdc_time_travel",
     "cdc_partitioned_feed",
     "cdc_partial_updates",
+    "cdc_patch_deletes",
     "q_prefer_nonnull_latest",
     "q1_lineitem_agg",
     "q3_revenue_topk",

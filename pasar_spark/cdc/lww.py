@@ -91,6 +91,7 @@ def lww_reduce_partial(
     key: list[str] | None = None,
     order: list[str] | None = None,
     payload: list[str] | None = None,
+    op_col: str | None = None,
 ) -> DataFrame:
     """Per-COLUMN last-writer-wins — CDC patch semantics.
 
@@ -108,19 +109,45 @@ def lww_reduce_partial(
     :func:`lww_reduce`: no window, no sort, partial aggregation per map
     task. Cost scales with #payload columns (one packed struct each), the
     same trade Debezium consumers make materializing patch streams.
+
+    ``op_col`` names the I/U/D operation column and makes the rule
+    DELETE-AWARE: a delete contributes an ``(order, NULL)`` candidate to
+    EVERY column, so values set before the delete can never resurrect
+    through a later partial update — the column restarts from NULL and
+    only sets newer than the delete stick. (The column-version CRDT
+    rule, still one associative aggregate.) Row liveness is separate:
+    the caller filters on the whole-row winner's op, same as
+    :func:`lww_reduce` pipelines do.
     """
     key = key or DEFAULT_KEY
     order = order or DEFAULT_ORDER
     if payload is None:
-        payload = [c for c in events.columns if c not in set(key) | set(order)]
+        payload = [
+            c
+            for c in events.columns
+            if c not in set(key) | set(order) | ({op_col} if op_col else set())
+        ]
     ostruct = F.struct(*[F.col(o) for o in order])
     aggs = [F.max(ostruct).alias("_latest")]
+    if op_col is not None:
+        aggs.append(
+            F.max(F.struct(*[F.col(o) for o in order], F.col(op_col).alias("_v"))).alias(
+                "_w_op"
+            )
+        )
     for c in payload:
+        is_del = (
+            F.col(op_col) == F.lit("D") if op_col is not None else F.lit(False)
+        )
+        candidate = F.col(c).isNotNull() | is_del
+        value = F.when(is_del, F.lit(None).cast(events.schema[c].dataType)).otherwise(
+            F.col(c)
+        )
         aggs.append(
             F.max(
                 F.when(
-                    F.col(c).isNotNull(),
-                    F.struct(*[F.col(o) for o in order], F.col(c).alias("_v")),
+                    candidate,
+                    F.struct(*[F.col(o) for o in order], value.alias("_v")),
                 )
             ).alias(f"_w_{c}")
         )
@@ -128,6 +155,7 @@ def lww_reduce_partial(
     return g.select(
         *key,
         *[F.col(f"_latest.{o}").alias(o) for o in order],
+        *([F.col("_w_op._v").alias(op_col)] if op_col is not None else []),
         *[F.col(f"_w_{c}._v").alias(c) for c in payload],
     )
 

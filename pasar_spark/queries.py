@@ -570,6 +570,46 @@ def cdc_partial_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_patch_deletes",
+    f"""
+    WITH feed AS ({_FEED_SQL}),
+    f AS (SELECT conv_id, turn_idx, op, lsn,
+                 CASE WHEN lsn % 3 = 0 THEN NULL ELSE text END AS text,
+                 CAST(epoch(ts) AS BIGINT) * 100000000 + lsn AS ord
+          FROM feed)
+    SELECT conv_id, turn_idx,
+           arg_max(lsn, ord) AS lsn,
+           arg_max(op, ord)  AS op,
+           arg_max({{'v': CASE WHEN op = 'D' THEN NULL ELSE text END}}, ord)
+             FILTER (WHERE text IS NOT NULL OR op = 'D')['v'] AS text
+    FROM f GROUP BY conv_id, turn_idx
+    """,
+)
+def cdc_patch_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-aware per-column LWW (the column-version CRDT rule): a
+    delete contributes an (order, NULL) candidate to every column, so
+    pre-delete values can never resurrect through a later partial
+    update. The DuckDB oracle needs a struct-wrapped arg_max — a bare
+    ``arg_max(value, ord)`` silently SKIPS null values and would
+    resurrect exactly the rows the delete must reset (a nice
+    demonstration of why this rule needs care)."""
+    from pasar_spark.cdc.lww import lww_reduce_partial
+
+    feed = _as_change_feed(load(spark, sf_dir, "events")).select(
+        "conv_id",
+        "turn_idx",
+        "op",
+        "ts",
+        "lsn",
+        F.when(F.col("lsn") % 3 == 0, F.lit(None)).otherwise(F.col("text")).alias("text"),
+    )
+    return lww_reduce_partial(
+        feed, key=["conv_id", "turn_idx"], order=["ts", "lsn"],
+        payload=["text"], op_col="op",
+    ).select("conv_id", "turn_idx", "lsn", "op", "text")
+
+
+@register(
     "cdc_time_travel",
     f"""
     WITH feed AS ({_FEED_SQL}),

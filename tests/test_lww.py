@@ -181,3 +181,36 @@ def test_partial_reduce_is_map_side_combined(spark):
         .toString()
     )
     assert "partial_max" in plan and "Window" not in plan
+
+
+def test_partial_updates_delete_resets_columns(spark):
+    """Delete-aware patch rule: a delete resets every column, so values
+    set BEFORE the delete cannot resurrect through a later partial
+    update; sets newer than the delete stick."""
+    from pasar_spark.cdc.lww import lww_reduce_partial
+
+    rows = [
+        # key (a,0): text set, then delete, then a patch touching nothing
+        # -> text must stay NULL (no resurrection of 'early')
+        (1, "U", "a", 0, "early", _ts("2025-01-01 00:00:00")),
+        (2, "D", "a", 0, None, _ts("2025-01-01 00:10:00")),
+        (3, "U", "a", 0, None, _ts("2025-01-01 00:20:00")),
+        # key (b,0): delete, then a patch that DOES set text -> sticks
+        (4, "U", "b", 0, "gone", _ts("2025-01-01 00:00:00")),
+        (5, "D", "b", 0, None, _ts("2025-01-01 00:10:00")),
+        (6, "U", "b", 0, "fresh", _ts("2025-01-01 00:20:00")),
+        # key (c,0): delete is the latest event -> row-level winner is D
+        (7, "U", "c", 0, "alive", _ts("2025-01-01 00:00:00")),
+        (8, "D", "c", 0, None, _ts("2025-01-01 00:30:00")),
+    ]
+    df = _df(spark, rows)
+    out = lww_reduce_partial(
+        df, key=["conv_id", "turn_idx"], order=["ts", "lsn"],
+        payload=["text"], op_col="op",
+    )
+    got = {(r.conv_id, r.turn_idx): (r.lsn, r.op, r.text) for r in out.collect()}
+    assert got == {
+        ("a", 0): (3, "U", None),     # delete reset; later patch set nothing
+        ("b", 0): (6, "U", "fresh"),  # post-delete set sticks
+        ("c", 0): (8, "D", None),     # row-level winner is the delete
+    }
