@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "cdc_partitioned_feed",
     "cdc_partial_updates",
     "cdc_patch_deletes",
+    "cdc_patch_table",
     "q_prefer_nonnull_latest",
     "q1_lineitem_agg",
     "q3_revenue_topk",

@@ -181,7 +181,16 @@ class LakeTable:
         unresolved = set(self.manifest.get("unresolved", []))
         plain = self._read_files([b for b in wanted if b not in unresolved])
         lazy = self._read_files([b for b in wanted if b in unresolved])
-        if lazy is not None:
+        if lazy is not None and self.manifest.get("conflict") == "patch":
+            # patch tables resolve PER COLUMN (cdc/patch.py); a whole-row
+            # reduce here would drop older rows still holding the winning
+            # value for some column. Resolution is the patch layer's job.
+            from pasar_spark.cdc.patch import resolve_stored
+
+            names = [c[len("_pv_"):] for c in cur.names() if c.startswith("_pv_")]
+            lazy = resolve_stored(lazy, self.manifest["key"], names)
+            lazy = lazy.select(*cur.names())
+        elif lazy is not None:
             from pasar_spark.cdc.lww import lww_reduce  # lazy: avoids cycle
 
             key = self.manifest["key"]
@@ -604,6 +613,13 @@ class LakeTable:
                 df = self.spark.createDataFrame([], cur.logical_struct())
             # reduce unconditionally: identity on resolved buckets, the
             # MoR resolve on unresolved ones — one code path for both
+            if to.manifest.get("conflict") == "patch":
+                from pasar_spark.cdc.patch import resolve_stored
+
+                names = [
+                    c[len("_pv_"):] for c in cur.names() if c.startswith("_pv_")
+                ]
+                return resolve_stored(df, key, names).select(*cur.names())
             return lww_reduce(
                 df, key=key, order=order, payload=payload + ["_tombstone"]
             )

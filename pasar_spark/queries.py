@@ -610,6 +610,66 @@ def cdc_patch_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_patch_table",
+    f"""
+    WITH feed AS ({_FEED_SQL}),
+    f AS (SELECT conv_id, turn_idx, op, lsn,
+                 CASE WHEN lsn % 3 = 0 THEN NULL ELSE text END AS text,
+                 CAST(epoch(ts) AS BIGINT) * 100000000 + lsn AS ord
+          FROM feed),
+    won AS (
+      SELECT conv_id, turn_idx,
+             arg_max(lsn, ord) AS lsn,
+             arg_max(op, ord)  AS op,
+             arg_max({{'v': CASE WHEN op = 'D' THEN NULL ELSE text END}}, ord)
+               FILTER (WHERE text IS NOT NULL OR op = 'D')['v'] AS text
+      FROM f GROUP BY conv_id, turn_idx)
+    SELECT conv_id, turn_idx, lsn, text FROM won WHERE op <> 'D'
+    """,
+)
+def cdc_patch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-mode TABLE end-to-end: the partial-update feed (text absent
+    on every 3rd event) replayed in chunks through PatchReplayRunner —
+    per-column winner structs in storage, MoR folds, ledger exactly-once
+    — then read back materialized. The oracle recomputes per-column
+    winners from the raw feed; matching it proves no fold or compaction
+    lost a column winner across chunk boundaries. Table build cached per
+    sf_dir; the resolved read runs live."""
+    import os
+    import shutil
+    import tempfile
+
+    from pasar_spark.cdc.patch import PatchReplayRunner
+    from pasar_spark.lake.table import LakeTable
+
+    feed = _as_change_feed(load(spark, sf_dir, "events")).select(
+        "conv_id",
+        "turn_idx",
+        "op",
+        "ts",
+        "lsn",
+        F.when(F.col("lsn") % 3 == 0, F.lit(None)).otherwise(F.col("text")).alias("text"),
+    )
+    cache = os.path.join(
+        tempfile.gettempdir(), "pasar_patch_table", sf_dir.strip("/").replace("/", "_")
+    )
+    tbl_path = os.path.join(cache, "tbl")
+    runner = PatchReplayRunner(
+        spark,
+        tbl_path,
+        payload=[("text", "string")],
+        n_buckets=16,
+        chunk_size=50_000,
+        compact_min_files=4,
+    )
+    if not LakeTable.exists(tbl_path):
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        runner.replay(feed)
+    return runner.read().select("conv_id", "turn_idx", "lsn", "text")
+
+
+@register(
     "cdc_time_travel",
     f"""
     WITH feed AS ({_FEED_SQL}),
