@@ -132,6 +132,27 @@ def order_cols() -> list[str]:
     return list(ORDER)
 
 
+def merge_patch_chunk(
+    table: LakeTable,
+    events: DataFrame,
+    batch_id: str,
+    last_lsn: int | None = None,
+) -> LakeTable:
+    """Apply one chunk of PARTIAL change events to a patch table:
+    reduce to stored form, bucket, write, commit with the ledger —
+    idempotent under batch-id redelivery, shared by batch replay and
+    the streaming tail."""
+    if table.has_batch(batch_id):
+        return table
+    key = table.manifest["key"]
+    names = payload_names(table)
+    stored = reduce_events(events, key, names).withColumn(
+        "_bucket", table.bucket_expr()
+    )
+    files = table.write_files(stored, table.new_commit_id())
+    return table.commit_append(files, batch_id, last_lsn=last_lsn)
+
+
 class PatchReplayRunner:
     """Chunked, checkpointed replay of a PARTIAL-update change feed into
     a patch-mode table. Mirrors :class:`ReplayRunner` (same feed-source
@@ -216,11 +237,7 @@ class PatchReplayRunner:
                 probe_gap = True
                 continue
             if not table.has_batch(batch_id):
-                stored = reduce_events(chunk, key, names).withColumn(
-                    "_bucket", table.bucket_expr()
-                )
-                files = table.write_files(stored, table.new_commit_id())
-                table = table.commit_append(files, batch_id, last_lsn=chunk_hi)
+                table = merge_patch_chunk(table, chunk, batch_id, last_lsn=chunk_hi)
                 table = self._compact(table)
             lo = chunk_hi + 1
         return table
@@ -248,3 +265,43 @@ class PatchReplayRunner:
                 batch_id=f"patch-compact-{b}-v{table.version}",
             )
         return table
+
+
+class PatchStreamingIngest:
+    """Structured Streaming tail into a patch table — same composition
+    as streaming/stream.py: the file source discovers appended WAL
+    files, the epoch id becomes the batch id, and the snapshot-embedded
+    ledger turns at-least-once epoch redelivery into exactly-once."""
+
+    def __init__(
+        self,
+        runner: PatchReplayRunner,
+        wal_path: str,
+        checkpoint_path: str,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.runner = runner
+        self.wal_path = wal_path
+        self.checkpoint_path = checkpoint_path
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def _apply_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        table = LakeTable.load(self.runner.spark, self.runner.table_path)
+        table = merge_patch_chunk(table, batch_df, f"patch-stream-{epoch_id}")
+        self.runner._compact(table)
+
+    def run_available_now(self) -> LakeTable:
+        self.runner.bootstrap()
+        schema = self.runner.spark.read.parquet(self.wal_path).schema
+        reader = self.runner.spark.readStream.schema(schema)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        q = (
+            reader.parquet(self.wal_path)
+            .writeStream.foreachBatch(self._apply_epoch)
+            .option("checkpointLocation", self.checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return LakeTable.load(self.runner.spark, self.runner.table_path)
