@@ -100,6 +100,20 @@ def cmd_ingest(args) -> int:
         )
     else:
         source = args.wal
+    if args.conflict == "patch":
+        from pasar_spark.cdc.patch import PatchReplayRunner
+
+        runner = PatchReplayRunner(
+            spark,
+            args.table,
+            n_buckets=args.buckets,
+            chunk_size=args.chunk_size,
+            compact_min_files=args.compact_min_files,
+        )
+        t = runner.replay(source, max_events=args.max_events)
+        print(json.dumps({"table": args.table, "last_lsn": t.last_lsn,
+                          "conflict": "patch", "rows": runner.read(t).count()}))
+        return 0
     runner = ReplayRunner(
         spark,
         args.table,
@@ -261,6 +275,12 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--chunk-size", type=int, default=1_000_000)
     i.add_argument("--max-events", type=int, default=None)
     i.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    i.add_argument(
+        "--conflict",
+        choices=["row", "patch"],
+        default="row",
+        help="row: whole-row LWW (default); patch: per-column LWW for partial-update feeds",
+    )
     i.add_argument("--normalizer", choices=["arrow", "native", "none"], default="arrow")
     i.add_argument("--compact-min-files", type=int, default=8)
     i.add_argument(
