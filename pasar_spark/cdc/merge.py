@@ -40,6 +40,20 @@ from pasar_spark.lake.table import LakeTable
 ORDER = ["ts", "lsn"]
 
 
+def _require_row_mode(table: LakeTable, op: str) -> None:
+    """Whole-row LWW applied to a patch table's stored form would keep
+    only the newest stored row per key and silently discard older rows'
+    per-column winner structs — irreversible data loss. Every row-mode
+    entry point refuses patch tables up front; compaction/vacuum instead
+    DISPATCH on the conflict rule (see compact_buckets)."""
+    if table.manifest.get("conflict") == "patch":
+        raise ValueError(
+            f"{op}: table {table.path!r} has conflict='patch' (per-column "
+            "LWW); use cdc.patch.merge_patch_chunk / PatchReplayRunner — "
+            "whole-row LWW would discard stored column winners"
+        )
+
+
 def _obs_get(obs: Observation, defaults: dict) -> dict:
     """``Observation.get`` tolerating the unfilled case: a dynamic-
     partition write of ZERO rows skips the observed stage entirely, and
@@ -74,6 +88,7 @@ def merge_batch(
     equivalent under LWW because the reduce is associative: resolving
     (base ∪ deltas) lazily equals resolving eagerly per batch.
     """
+    _require_row_mode(table, "merge_batch")
     if table.has_batch(batch_id):
         return table, {"skipped_batches": 1}
 
@@ -263,6 +278,23 @@ def compact_buckets(
     key = table.manifest["key"]
     order = table.manifest.get("resolve_order", ["ts", "lsn"])
     payload = [c for c in table.schema.names() if c not in set(key) | set(order)]
+    # Patch tables fold with the PER-COLUMN resolve (their stored form is
+    # closed under it); whole-row lww_reduce here would pick the newest
+    # stored row and discard older rows' still-winning column structs.
+    is_patch = table.manifest.get("conflict") == "patch"
+    if is_patch:
+        from pasar_spark.cdc.patch import resolve_stored
+
+        patch_cols = [
+            c[len("_pv_"):] for c in table.schema.names() if c.startswith("_pv_")
+        ]
+
+        def _fold(df):
+            return resolve_stored(df, key, patch_cols)
+    else:
+
+        def _fold(df):
+            return lww_reduce(df, key=key, order=order, payload=payload)
 
     major, minor = [], []
     for b in todo:
@@ -283,7 +315,7 @@ def compact_buckets(
     if minor:
         entries = [e for b in minor for e in table.bucket_entries(b, kind="delta")]
         deltas = table._read_entries(entries)
-        folded = lww_reduce(deltas, key=key, order=order, payload=payload)
+        folded = _fold(deltas)
         folded = folded.select(*table.schema.names()).withColumn(
             "_bucket", table.bucket_expr()
         )
@@ -319,7 +351,12 @@ def vacuum_tombstones(table: LakeTable, horizon_lsn: int) -> tuple[LakeTable, di
     """Drop tombstones whose lsn < horizon (the feed's max out-of-order
     distance behind the applied LSN): past the horizon no staler event
     can arrive, so the guard row is dead weight. Rewrites only buckets
-    that actually hold old tombstones."""
+    that actually hold old tombstones.
+
+    Patch-table safe: all reads go through ``table.read``, which
+    dispatches unresolved buckets to the per-column resolve for
+    conflict='patch' manifests; the rewritten rows keep their winner
+    structs (pinned by tests/test_patch_table.py)."""
     candidates = []
     all_buckets = list(table.manifest["buckets"].keys())
     flags = (

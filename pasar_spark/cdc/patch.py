@@ -181,7 +181,14 @@ class PatchReplayRunner:
     # ------------------------------------------------------------------
     def bootstrap(self) -> LakeTable:
         if LakeTable.exists(self.table_path):
-            return LakeTable.load(self.spark, self.table_path)
+            t = LakeTable.load(self.spark, self.table_path)
+            if t.manifest.get("conflict") != "patch":
+                raise ValueError(
+                    f"table {self.table_path!r} is a row-mode table — "
+                    "patch replay would write winner structs into a "
+                    "whole-row-LWW layout; use cdc.runner.ReplayRunner"
+                )
+            return t
         t = LakeTable.create(
             self.spark,
             self.table_path,

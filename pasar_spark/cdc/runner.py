@@ -61,7 +61,14 @@ def bootstrap_table(spark: SparkSession, path: str, n_buckets: int) -> LakeTable
     truth for the base layout, shared by batch replay and streaming so
     the two paths can never drift."""
     if LakeTable.exists(path):
-        return LakeTable.load(spark, path)
+        t = LakeTable.load(spark, path)
+        if t.manifest.get("conflict") == "patch":
+            raise ValueError(
+                f"table {path!r} has conflict='patch' — row-mode replay/"
+                "streaming would apply whole-row LWW over stored column "
+                "winners; use cdc.patch.PatchReplayRunner"
+            )
+        return t
     return LakeTable.create(
         spark,
         path,

@@ -220,22 +220,31 @@ def _kmeans_fit(vectors, n_cells: int, seed: int, max_iter: int = 20):
 
     x = np.asarray(vectors, dtype=np.float64)
     rng = np.random.RandomState(seed)
-    # kmeans++ seeding
+    # All distance math uses ||x||^2 - 2 x·cᵀ + ||c||^2 (gemm form):
+    # O(n·k) memory instead of the (n, k, dim) broadcast intermediate,
+    # which at train_cap=100k x 768 dims x k=8 was ~5 GB of transient
+    # driver memory — a driver-OOM hazard for a "small-sample" trainer.
+    xx = (x * x).sum(axis=1)
+
+    def _d2_matrix(c: "np.ndarray") -> "np.ndarray":
+        d2 = xx[:, None] - 2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+        return np.maximum(d2, 0.0)  # clamp fp cancellation below zero
+
+    # kmeans++ seeding with a RUNNING min — O(n) per new center
     centers = [x[rng.randint(len(x))]]
+    d2 = _d2_matrix(centers[0][None, :])[:, 0]
     for _ in range(1, n_cells):
-        d2 = np.min(
-            [((x - c) ** 2).sum(axis=1) for c in centers], axis=0
-        )
         tot = d2.sum()
         if tot <= 0:
-            centers.append(x[rng.randint(len(x))])
-            continue
-        centers.append(x[np.searchsorted(np.cumsum(d2 / tot), rng.rand())])
+            nxt = x[rng.randint(len(x))]
+        else:
+            nxt = x[np.searchsorted(np.cumsum(d2 / tot), rng.rand())]
+        centers.append(nxt)
+        d2 = np.minimum(d2, _d2_matrix(nxt[None, :])[:, 0])
     c = np.stack(centers)
     for _ in range(max_iter):
         # (n, k) squared distances -> nearest-center assignment
-        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        assign = _d2_matrix(c).argmin(axis=1)
         new_c = np.stack([
             x[assign == j].mean(axis=0) if (assign == j).any() else c[j]
             for j in range(n_cells)
@@ -265,9 +274,14 @@ def ivf_topk(
     nearest cells; (4) exact cosine rank within the probed candidates.
 
     Scale shape (10^9 vectors): the quantizer trains DRIVER-SIDE on a
-    CAPPED sample (``limit(train_cap)`` collect — bounded by the cap, and
-    a coarse quantizer only needs enough points per cell, not the
-    corpus; FAISS makes the same split). Everything after training is
+    capped RANDOM sample — rows ranked by ``xxhash64(vec_id, seed)``,
+    top ``train_cap`` taken (a TakeOrdered top-k, no full sort; the hash
+    order is a seeded uniform permutation of ids, so the sample is
+    unbiased even when the corpus is ordered by topic/time — a plain
+    ``limit()`` prefix would train the quantizer on whatever slice the
+    scan yields first). Deterministic for a fixed (corpus, seed); a
+    coarse quantizer only needs enough points per cell, not the corpus
+    (FAISS makes the same split). Everything after training is
     pure Catalyst: cell assignment and probe selection are one shared
     projection over literal centroid arrays (no MLlib job per Lloyd
     iteration, no VectorUDT conversion — replacing KMeans.fit cut this
@@ -279,7 +293,13 @@ def ivf_topk(
 
     feat = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     sample = [
-        r["_v"] for r in feat.select("_v").limit(train_cap).collect()
+        r["_v"]
+        for r in feat.select(
+            "_v", F.xxhash64(F.col("vec_id"), F.lit(seed)).alias("_h")
+        )
+        .orderBy("_h", "vec_id")
+        .limit(train_cap)
+        .collect()
     ]
     centroids = _kmeans_fit(sample, n_cells=n_cells, seed=seed)
 

@@ -601,9 +601,17 @@ class LakeTable:
         cur = to.schema
         key = to.manifest["key"]
         order = to.manifest.get("resolve_order", ["ts", "lsn"])
-        payload = [
-            c for c in cur.names() if c not in set(key) | set(order) | {"_tombstone"}
-        ]
+        is_patch = to.manifest.get("conflict") == "patch"
+        pv_names = [c[len("_pv_"):] for c in cur.names() if c.startswith("_pv_")]
+        payload = (
+            pv_names
+            if is_patch
+            else [
+                c
+                for c in cur.names()
+                if c not in set(key) | set(order) | {"_tombstone"}
+            ]
+        )
 
         from pasar_spark.cdc.lww import lww_reduce  # lazy: avoids cycle
 
@@ -613,13 +621,10 @@ class LakeTable:
                 df = self.spark.createDataFrame([], cur.logical_struct())
             # reduce unconditionally: identity on resolved buckets, the
             # MoR resolve on unresolved ones — one code path for both
-            if to.manifest.get("conflict") == "patch":
+            if is_patch:
                 from pasar_spark.cdc.patch import resolve_stored
 
-                names = [
-                    c[len("_pv_"):] for c in cur.names() if c.startswith("_pv_")
-                ]
-                return resolve_stored(df, key, names).select(*cur.names())
+                return resolve_stored(df, key, pv_names).select(*cur.names())
             return lww_reduce(
                 df, key=key, order=order, payload=payload + ["_tombstone"]
             )
@@ -631,14 +636,28 @@ class LakeTable:
         a = a.select(
             *[F.col(k).alias(f"_ak_{i}") for i, k in enumerate(key)],
             *[F.col(c).alias(f"_a_{c}") for c in order],
+            # patch tables diff by COLUMN winners (below), which needs the
+            # pre-image structs on the A side
+            *[F.col(f"_pv_{c}").alias(f"_apv_{c}") for c in (pv_names if is_patch else [])],
             (F.col("_tombstone").isNull() | ~F.col("_tombstone")).alias("a_live"),
         )
-        b = b.select(
-            *key,
-            *order,
-            *payload,
-            (F.col("_tombstone").isNull() | ~F.col("_tombstone")).alias("b_live"),
-        )
+        if is_patch:
+            # emit MATERIALIZED values (winner.v), not raw structs; keep
+            # the structs alongside for the version comparison
+            b = b.select(
+                *key,
+                *order,
+                *[F.col(f"_pv_{c}.v").alias(c) for c in pv_names],
+                *[F.col(f"_pv_{c}").alias(f"_bpv_{c}") for c in pv_names],
+                (F.col("_tombstone").isNull() | ~F.col("_tombstone")).alias("b_live"),
+            )
+        else:
+            b = b.select(
+                *key,
+                *order,
+                *payload,
+                (F.col("_tombstone").isNull() | ~F.col("_tombstone")).alias("b_live"),
+            )
         cond = None
         for i, k in enumerate(key):
             c = b[k].eqNullSafe(a[f"_ak_{i}"])
@@ -648,9 +667,19 @@ class LakeTable:
         a_exists = live("a").isNotNull() & live("a")
         b_exists = live("b").isNotNull() & live("b")
         same_version = None
-        for c in order:
-            e = F.col(c).eqNullSafe(F.col(f"_a_{c}"))
-            same_version = e if same_version is None else same_version & e
+        if is_patch:
+            # Row-level (ts, lsn) is NOT enough on a patch table: a
+            # late-arriving partial update with an old-but-never-superseded
+            # column set wins that column WITHOUT advancing the row's max
+            # (ts, lsn) — the exact scenario patch mode exists for. A real
+            # state change is "any per-column winner struct differs".
+            for c in pv_names:
+                e = F.col(f"_bpv_{c}").eqNullSafe(F.col(f"_apv_{c}"))
+                same_version = e if same_version is None else same_version & e
+        else:
+            for c in order:
+                e = F.col(c).eqNullSafe(F.col(f"_a_{c}"))
+                same_version = e if same_version is None else same_version & e
         change = (
             F.when(b_exists & ~a_exists, F.lit("insert"))
             .when(~b_exists & a_exists, F.lit("delete"))
@@ -831,12 +860,15 @@ class LakeTable:
         import time as _time
 
         base = self
+        races = 0  # distinct commits lost to a concurrent WINNER (not retries)
         for attempt in range(max_attempts):
             m = build(base)
-            if attempt:
-                # surfaced next to applied/skipped: how contended commits are
+            if races:
+                # surfaced next to applied/skipped: how contended commits are;
+                # +1 per observed winning commit — a mid-flip retry against
+                # the SAME version is the same race, not a new one
                 m["metrics"]["commit_races"] = (
-                    m["metrics"].get("commit_races", 0) + attempt
+                    m["metrics"].get("commit_races", 0) + races
                 )
             try:
                 return base._commit(m, tag=tag)
@@ -854,6 +886,8 @@ class LakeTable:
                     return reloaded
                 if reloaded.version <= base.version:
                     _time.sleep(0.02 * (attempt + 1))  # CURRENT mid-flip
+                else:
+                    races += 1
                 base = reloaded
         raise CommitConflict(
             f"lost {max_attempts} consecutive commit races for {batch_id}"
@@ -893,10 +927,29 @@ class LakeTable:
 
     @staticmethod
     def _flip_current(path: str, version: int) -> None:
-        tmp = os.path.join(path, "metadata", f".CURRENT.{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, os.path.join(path, "metadata", CURRENT))  # atomic
+        """Advance the CURRENT pointer — MONOTONICALLY. A plain
+        os.replace could move it backwards: writer A links manifest v2,
+        stalls before flipping; writer B's crash-repair rolls CURRENT to
+        2, rebases, commits v3 (CURRENT=3); A resumes and would clobber
+        CURRENT back to 2, hiding B's acknowledged commit. So: never
+        replace when the pointer already names a version >= ours, and
+        verify after the replace (a racing lower flip from an old binary
+        is re-fixed by looping)."""
+        cur_path = os.path.join(path, "metadata", CURRENT)
+        for _ in range(64):
+            try:
+                with open(cur_path) as fh:
+                    if int(fh.read().strip()) >= version:
+                        return
+            except (FileNotFoundError, ValueError):
+                pass
+            tmp = os.path.join(path, "metadata", f".CURRENT.{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                fh.write(str(version))
+            os.replace(tmp, cur_path)  # atomic
+            with open(cur_path) as fh:
+                if int(fh.read().strip()) >= version:
+                    return
 
     def history(self) -> list[dict]:
         out = []

@@ -23,7 +23,7 @@ from pasar_spark.functions.similarity import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from pasar_spark.queries import load, register, spread
+from pasar_spark.queries import load, register, register_retired, spread
 
 # Committed parquet fixtures (scripts/make_fixtures.py) that make the
 # approximate / engine-defined queries oracle-gated: the DuckDB side reads
@@ -202,7 +202,7 @@ _BIGRAMS = (
 )
 
 
-@register(
+@register_retired(
     "dedup_ngram_jaccard",
     f"""
     WITH c AS ({_COPIES_SQL}),
@@ -221,7 +221,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOTE: the all-pairs formulation here is the small-scale oracle twin;
     the scale path is dedup_minhash_lsh below (candidate generation via
-    band-bucket equi-join, no cross join anywhere)."""
+    band-bucket equi-join, no cross join anywhere).
+
+    RETIRED from the driver registry in r3 (the driver gate records at
+    most 50 entries; dedup_minhash_lsh subsumes this coverage — same
+    shingle/jaccard semantics, scale-safe candidate generation). Still
+    oracle-checked every run by tests/test_retired_oracles.py."""
     c = _with_copies(load(spark, sf_dir, "documents"))
     sh = c.select(
         "doc_id", F.array_distinct(T.shingles(F.col("text"), 2)).alias("sh")
@@ -264,6 +269,69 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         c, n_hashes=32, bands=8, shingle_n=2, jaccard_threshold=0.95
     ).select("id_a", "id_b", "jaccard")
+
+
+@register(
+    "dedup_winnow",
+    f"""
+    WITH fp AS (SELECT doc_id, fp FROM {_fixture_sql('winnow_fps.parquet')}),
+    common AS (SELECT fp FROM fp GROUP BY fp HAVING count(DISTINCT doc_id) <= 10)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    WHERE a.fp IN (SELECT fp FROM common)
+    GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2
+    """,
+)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing/MOSS) near-dup pairs over injected copies:
+    docs sharing >= 2 selected fingerprints, with boilerplate suppression
+    (fingerprints present in > 10 docs are dropped before pairing — the
+    standard winnowing practice, and the hot-key guard: a viral shingle
+    can never blow up the fp equi-join). Candidate generation is an
+    equi-join on the fingerprint value — no all-pairs stage. Oracle:
+    the same extraction over the engine's persisted fingerprint fixture
+    (sf0.01 corpus; xxhash64 is not reproducible in DuckDB)."""
+    c = _with_copies(load(spark, sf_dir, "documents"))
+    fps = c.select(
+        "doc_id", F.explode(T.winnow_fingerprints(F.col("text"), 5, 4)).alias("fp")
+    )
+    counts = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("_n"))
+    # broadcast the BOILERPLATE set (small by definition) and anti-join;
+    # broadcasting the rare side would ship nearly the whole fp space
+    common = counts.where(F.col("_n") > 10).select("fp")
+    rare = fps.join(F.broadcast(common), "fp", "left_anti")
+    a = rare.select(F.col("fp"), F.col("doc_id").alias("id_a"))
+    b = rare.select(F.col("fp"), F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("fp").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM {_fixture_sql('simhash_sigs.parquet')} a
+    JOIN {_fixture_sql('simhash_sigs.parquet')} b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 6
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 6) over injected copies, with
+    BANDED candidate generation (similarity.simhash_pairs): band+value
+    equi-join, no all-pairs stage — exact recall for hamming <= n_bands-1
+    by pigeonhole. Oracle-gated against all-pairs hamming extraction over
+    the engine's persisted signature fixture (generated from the sf0.01
+    corpus — the driver's correctness gate runs at sf0.01; at other scale
+    factors the Spark side still runs, the fixture just describes 0.01)."""
+    c = _with_copies(load(spark, sf_dir, "documents"))
+    return simhash_pairs(c, max_hamming=6, n_bands=8)
 
 
 # ---------------------------------------------------------------------
@@ -435,7 +503,7 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_retired(
     "dedup_embedding_cosine",
     f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -450,7 +518,12 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4 — the synthetic embeddings are near-orthogonal random vectors, max pairwise cosine ~0.46, so 0.4 yields a small deterministic pair set) — the exact
     all-pairs small-scale twin; the scale path is the hyperplane-LSH
-    bucketing of knn_lsh_topk (no cross join at 10^9 vectors)."""
+    bucketing of knn_lsh_topk (no cross join at 10^9 vectors).
+
+    RETIRED from the driver registry in r3 (driver gate caps at 50
+    entries; knn_cosine_topk + knn_lsh_topk cover the embedding-cosine
+    operator surface). Still oracle-checked every run by
+    tests/test_retired_oracles.py."""
     from pasar_spark.functions.similarity import embedding_near_dups
 
     emb = spread(load(spark, sf_dir, "embeddings").where("vec_id < 300"))
@@ -558,64 +631,3 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_winnow",
-    f"""
-    WITH fp AS (SELECT doc_id, fp FROM {_fixture_sql('winnow_fps.parquet')}),
-    common AS (SELECT fp FROM fp GROUP BY fp HAVING count(DISTINCT doc_id) <= 10)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
-    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    WHERE a.fp IN (SELECT fp FROM common)
-    GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= 2
-    """,
-)
-def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash (winnowing/MOSS) near-dup pairs over injected copies:
-    docs sharing >= 2 selected fingerprints, with boilerplate suppression
-    (fingerprints present in > 10 docs are dropped before pairing — the
-    standard winnowing practice, and the hot-key guard: a viral shingle
-    can never blow up the fp equi-join). Candidate generation is an
-    equi-join on the fingerprint value — no all-pairs stage. Oracle:
-    the same extraction over the engine's persisted fingerprint fixture
-    (sf0.01 corpus; xxhash64 is not reproducible in DuckDB)."""
-    c = _with_copies(load(spark, sf_dir, "documents"))
-    fps = c.select(
-        "doc_id", F.explode(T.winnow_fingerprints(F.col("text"), 5, 4)).alias("fp")
-    )
-    counts = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("_n"))
-    # broadcast the BOILERPLATE set (small by definition) and anti-join;
-    # broadcasting the rare side would ship nearly the whole fp space
-    common = counts.where(F.col("_n") > 10).select("fp")
-    rare = fps.join(F.broadcast(common), "fp", "left_anti")
-    a = rare.select(F.col("fp"), F.col("doc_id").alias("id_a"))
-    b = rare.select(F.col("fp"), F.col("doc_id").alias("id_b"))
-    return (
-        a.join(b, "fp")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.countDistinct("fp").alias("n_shared"))
-        .where(F.col("n_shared") >= 2)
-    )
-
-
-@register(
-    "dedup_simhash",
-    f"""
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
-    FROM {_fixture_sql('simhash_sigs.parquet')} a
-    JOIN {_fixture_sql('simhash_sigs.parquet')} b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sig, b.sig)) <= 6
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 6) over injected copies, with
-    BANDED candidate generation (similarity.simhash_pairs): band+value
-    equi-join, no all-pairs stage — exact recall for hamming <= n_bands-1
-    by pigeonhole. Oracle-gated against all-pairs hamming extraction over
-    the engine's persisted signature fixture (generated from the sf0.01
-    corpus — the driver's correctness gate runs at sf0.01; at other scale
-    factors the Spark side still runs, the fixture just describes 0.01)."""
-    c = _with_copies(load(spark, sf_dir, "documents"))
-    return simhash_pairs(c, max_hamming=6, n_bands=8)
