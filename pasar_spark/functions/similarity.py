@@ -256,6 +256,81 @@ def _kmeans_fit(vectors, n_cells: int, seed: int, max_iter: int = 20):
     return [list(map(float, row)) for row in c]
 
 
+def _ivf_base(
+    df: DataFrame,
+    n_cells: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    train_cap: int,
+) -> DataFrame:
+    """Shared IVF front half: train the quantizer, compute per-vector
+    nearest cells. Returns a PERSISTED frame (vec_id, _v, _cells) where
+    ``_cells`` is the n_probe nearest (distance, cell) structs ascending
+    — element 1 is the assignment cell. Deterministic for a fixed
+    (corpus, seed): seeded hash-ranked training sample, seeded k-means,
+    pure-Catalyst distance expressions with cell-index tie-break."""
+    feat = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    sample = [
+        r["_v"]
+        for r in feat.select(
+            "_v", F.xxhash64(F.col("vec_id"), F.lit(seed)).alias("_h")
+        )
+        .orderBy("_h", "vec_id")
+        .limit(train_cap)
+        .collect()
+    ]
+    centroids = _kmeans_fit(sample, n_cells=n_cells, seed=seed)
+
+    # distance to every centroid is a small literal-array expression
+    # (n_cells x dim); ONE shared projection yields both the assignment
+    # (nearest cell) and each query's n_probe probe list
+    def _dist2(c: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col("_v"), F.lit(c), lambda x, w: (x.cast("double") - w) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cell_structs = F.array(*[
+        F.struct(_dist2(c).alias("d"), F.lit(i).alias("cell"))
+        for i, c in enumerate(centroids)
+    ])
+    # persisted: BOTH sides of the candidate join read this (probe
+    # derivation and the corpus side) — without the cut point the scan +
+    # n_cells distance expressions run twice
+    return feat.withColumn(
+        "_cells", F.slice(F.array_sort(cell_structs), 1, max(n_probe, 1))
+    ).persist()
+
+
+def ivf_cells(
+    df: DataFrame,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    train_cap: int = 100_000,
+) -> tuple[DataFrame, DataFrame]:
+    """The IVF index state as plain id-keyed tables: (assignment, probes)
+    = ((vec_id, cell), (vec_id, probe_cell)). This is what
+    scripts/make_fixtures.py persists so the knn_ivf_topk oracle can
+    recompute candidate top-k over the engine's own cells in DuckDB."""
+    base = _ivf_base(
+        df, n_cells=n_cells, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+        seed=seed, train_cap=train_cap,
+    )
+    assigned = base.select(
+        "vec_id", F.element_at("_cells", 1)["cell"].alias("cell")
+    )
+    probes = base.select(
+        "vec_id", F.explode("_cells").alias("_p")
+    ).select("vec_id", F.col("_p.cell").alias("probe_cell"))
+    return assigned, probes
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 3,
@@ -291,38 +366,10 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    feat = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-    sample = [
-        r["_v"]
-        for r in feat.select(
-            "_v", F.xxhash64(F.col("vec_id"), F.lit(seed)).alias("_h")
-        )
-        .orderBy("_h", "vec_id")
-        .limit(train_cap)
-        .collect()
-    ]
-    centroids = _kmeans_fit(sample, n_cells=n_cells, seed=seed)
-
-    # distance to every centroid is a small literal-array expression
-    # (n_cells x dim); ONE shared projection yields both the assignment
-    # (nearest cell) and each query's n_probe probe list
-    def _dist2(c: list[float]) -> Column:
-        return F.aggregate(
-            F.zip_with(F.col("_v"), F.lit(c), lambda x, w: (x.cast("double") - w) ** 2),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    cell_structs = F.array(*[
-        F.struct(_dist2(c).alias("d"), F.lit(i).alias("cell"))
-        for i, c in enumerate(centroids)
-    ])
-    # persisted: BOTH sides of the candidate join read this (probe
-    # derivation and the corpus side) — without the cut point the scan +
-    # n_cells distance expressions run twice
-    base = feat.withColumn(
-        "_cells", F.slice(F.array_sort(cell_structs), 1, max(n_probe, 1))
-    ).persist()
+    base = _ivf_base(
+        df, n_cells=n_cells, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+        seed=seed, train_cap=train_cap,
+    )
     assigned = base.select(
         "vec_id", "_v", F.element_at("_cells", 1)["cell"].alias("_cell")
     )

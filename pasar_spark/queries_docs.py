@@ -532,15 +532,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_ivf_topk", None)
+@register(
+    "knn_ivf_topk",
+    f"""
+    WITH cand AS (
+      SELECT p.vec_id AS vec_id, c.vec_id AS neighbor_id
+      FROM {_fixture_sql('ivf_probes.parquet')} p
+      JOIN {_fixture_sql('ivf_cells.parquet')} c
+        ON p.probe_cell = c.cell AND p.vec_id <> c.vec_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT cand.vec_id, cand.neighbor_id,
+             {_dot_sql('a.embedding', 'b.embedding')}
+               / ({_norm_sql('a.embedding')} * {_norm_sql('b.embedding')}) AS sim
+      FROM cand JOIN embeddings a ON a.vec_id = cand.vec_id
+                JOIN embeddings b ON b.vec_id = cand.neighbor_id)
+    SELECT vec_id, rank, neighbor_id, round(sim, 6) AS cos_sim FROM (
+      SELECT vec_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM pairs) t
+    WHERE rank <= 3
+    """,
+)
 def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: coarse k-means quantizer (pyspark.ml,
-    seeded, sample-capped training), candidates restricted to the
-    query's nearest n_probe centroids, exact cosine rank within
-    candidates — the classic IVF-Flat shape. Rows-only here (results
-    depend on the trained quantizer, not SQL-expressible); QUALITY is
-    oracle-gated by knn_recall_eval, whose fixture uses these exact
-    parameters (recall@3 = 0.927 on the fixture corpus)."""
+    """IVF-Flat approximate top-k: coarse k-means quantizer trained
+    driver-side on a seeded hash-ranked sample, candidates restricted to
+    each query's n_probe nearest centroid cells, exact cosine rank
+    within candidates. FULLY oracle-gated since r3: the engine's cell
+    assignment and probe lists are persisted (fixtures/ivf_cells.parquet
+    + ivf_probes.parquet, scripts/make_fixtures.py, same parameters and
+    seed); DuckDB recomputes candidate generation and exact top-k over
+    those cells, so the live query must reproduce the persisted index
+    state bit-for-bit AND rank correctly — the same fixture pattern as
+    dedup_simhash/knn_lsh_topk. Quality (recall@3 >= 0.9) is separately
+    gated by knn_recall_eval. The fixture describes the sf0.01/0.001
+    corpus (500 vectors, identical at both scale factors)."""
     from pasar_spark.functions.similarity import ivf_topk
 
     emb = spread(load(spark, sf_dir, "embeddings").where("vec_id < 500"))

@@ -50,6 +50,32 @@ def test_ivf_recall_floor(corpus, exact):
     assert _recall(approx, exact) >= 0.9
 
 
+def test_ivf_quantizer_deterministic_under_seed(spark, corpus):
+    """The coarse quantizer must be a pure function of (corpus, seed):
+    seeded hash-ranked training sample (NOT a scan-order prefix) + seeded
+    k-means + Catalyst distance expressions. Two independent live runs
+    must produce identical cell assignments and probe lists — this is
+    what lets fixtures/ivf_cells.parquet oracle-gate the live query."""
+    from pasar_spark.functions.similarity import _kmeans_fit, ivf_cells
+
+    a1, p1 = ivf_cells(corpus, n_cells=8, n_probe=6)
+    a2, p2 = ivf_cells(corpus, n_cells=8, n_probe=6)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    assert sorted(map(tuple, p1.collect())) == sorted(map(tuple, p2.collect()))
+    # and the live state matches the committed fixture (same code path
+    # the DuckDB oracle reads)
+    fixture = spark.read.parquet("/root/repo/fixtures/ivf_cells.parquet")
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, fixture.collect()))
+    # driver-side trainer is deterministic too (numpy fixed eval order)
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    sample = rng.rand(500, 16).tolist()
+    assert _kmeans_fit(sample, n_cells=4, seed=7) == _kmeans_fit(
+        sample, n_cells=4, seed=7
+    )
+
+
 def test_lsh_single_table_equals_n_tables_1(corpus):
     """n_tables=1 must reproduce the original single-table semantics
     (the knn_lsh_topk DuckDB oracle replicates exactly that plan)."""
