@@ -67,16 +67,17 @@ def spread(df: DataFrame) -> DataFrame:
     nearly single-threaded on a 32-core box. A cheap round-robin shuffle
     of the raw rows is repaid many times over by parallelizing the
     expensive per-row work. Guarded twice: on a non-local master it is a
-    no-op without even analyzing the plan (a 100 TB scan has thousands of
-    splits and the ``df.rdd`` partition probe itself costs an analysis
-    pass), and locally it only fires when the scan has fewer partitions
-    than cores.
+    no-op without touching the plan (a 100 TB scan has thousands of
+    splits), and locally it only fires when the scan has fewer FILES
+    than cores — ``inputFiles()`` is a datasource-relation metadata read,
+    not the RDD-conversion analysis pass ``df.rdd`` would cost on every
+    registry query.
     """
     sc = df.sparkSession.sparkContext
     if not sc.master.startswith("local"):
         return df
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 
@@ -387,6 +388,30 @@ def cdc_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cache_root(kind: str, sf_dir: str, *token_parts) -> str:
+    """Cache dir for engine-built table fixtures, keyed by sf_dir AND a
+    content token: the SOURCE TEXT of the feed mapping (looked up at
+    call time so tests can substitute it) plus the build parameters.
+    Any edit to the feed definition or the builder's parameters mints a
+    new directory, so a stale cached table can never be served to the
+    oracle across code changes. Callables in ``token_parts`` contribute
+    their source text; everything else its repr."""
+    import hashlib
+    import inspect
+    import os
+    import tempfile
+
+    parts = [inspect.getsource(_as_change_feed)]
+    for p in token_parts:
+        parts.append(inspect.getsource(p) if callable(p) else repr(p))
+    token = hashlib.sha256("\x00".join(parts).encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"pasar_{kind}",
+        sf_dir.strip("/").replace("/", "_") + "-" + token,
+    )
+
+
 def _two_snapshot_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     """Replay the events-derived change feed through the ACTUAL engine in
     two halves (lsn <= max/2, then the rest), cached per sf_dir — the
@@ -395,7 +420,6 @@ def _two_snapshot_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     import json as _json
     import os
     import shutil
-    import tempfile
 
     from pasar_spark.cdc.runner import ReplayRunner
     from pasar_spark.lake.table import LakeTable
@@ -409,11 +433,7 @@ def _two_snapshot_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
             "tool": F.lit(None).cast("string"),
         }
     )
-    cache = os.path.join(
-        tempfile.gettempdir(),
-        "pasar_changes_feed",
-        sf_dir.strip("/").replace("/", "_"),
-    )
+    cache = _cache_root("changes_feed", sf_dir, _two_snapshot_table, 16, 1 << 40)
     marker = os.path.join(cache, "MARKER.json")
     tbl_path = os.path.join(cache, "tbl")
     if not (os.path.exists(marker) and LakeTable.exists(tbl_path)):
@@ -517,7 +537,6 @@ def cdc_partitioned_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_dir (deterministic); the read runs live."""
     import os
     import shutil
-    import tempfile
 
     from pasar_spark.cdc.runner import ReplayRunner
     from pasar_spark.lake.table import LakeTable
@@ -525,11 +544,7 @@ def cdc_partitioned_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = _as_change_feed(load(spark, sf_dir, "events")).withColumns(
         {"role": F.col("op"), "tool": F.lit(None).cast("string")}
     )
-    cache = os.path.join(
-        tempfile.gettempdir(),
-        "pasar_partitioned_feed",
-        sf_dir.strip("/").replace("/", "_"),
-    )
+    cache = _cache_root("partitioned_feed", sf_dir, cdc_partitioned_feed, 3, 16, 1 << 40)
     tbl_path = os.path.join(cache, "tbl")
     if not LakeTable.exists(tbl_path):
         shutil.rmtree(cache, ignore_errors=True)
@@ -656,7 +671,6 @@ def cdc_patch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_dir; the resolved read runs live."""
     import os
     import shutil
-    import tempfile
 
     from pasar_spark.cdc.patch import PatchReplayRunner
     from pasar_spark.lake.table import LakeTable
@@ -669,9 +683,7 @@ def cdc_patch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsn",
         F.when(F.col("lsn") % 3 == 0, F.lit(None)).otherwise(F.col("text")).alias("text"),
     )
-    cache = os.path.join(
-        tempfile.gettempdir(), "pasar_patch_table", sf_dir.strip("/").replace("/", "_")
-    )
+    cache = _cache_root("patch_table", sf_dir, cdc_patch_table, "text", 16, 50_000, 4)
     tbl_path = os.path.join(cache, "tbl")
     runner = PatchReplayRunner(
         spark,

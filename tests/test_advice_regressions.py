@@ -71,6 +71,24 @@ def test_promote_extra_coalesces_renamed_json_field(spark, tmp_path):
     assert got == {1: 7, 2: 9, 3: None}
 
 
+def test_cache_root_invalidates_on_feed_definition_change(monkeypatch):
+    """r2 ADVICE #7: the cached query fixtures must key on the CONTENT of
+    the feed mapping, not just sf_dir — editing _as_change_feed (or any
+    build parameter) must mint a different cache dir so a stale table can
+    never serve the oracle."""
+    import pasar_spark.queries as q
+
+    p1 = q._cache_root("demo", "/root/testdata/sf0.001", 16)
+    assert q._cache_root("demo", "/root/testdata/sf0.001", 16) == p1  # stable
+    assert q._cache_root("demo", "/root/testdata/sf0.001", 32) != p1  # params
+
+    def other_feed(ev):
+        return ev  # pragma: no cover - source text only
+
+    monkeypatch.setattr(q, "_as_change_feed", other_feed)
+    assert q._cache_root("demo", "/root/testdata/sf0.001", 16) != p1  # feed def
+
+
 def test_compact_explicit_bucket_without_kind_field(spark, tmp_path):
     wal = str(tmp_path / "wal")
     write_change_log(change_events(spark, 400, n_convs=8, seed=3), wal, n_files=2)
