@@ -2,11 +2,14 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schema, batching, partition-sized Arrow transfer) is
-real and tested, while the codec step is STUBBED — the decode libraries
-(PIL/ffmpeg/torchaudio) are not in this container. Each stub either
-raises NotImplementedError (strict mode) or produces a deterministic fake
-derived from the bytes (test mode), so pipelines exercise the exact
-mapInPandas shape they would run with real codecs.
+real and tested. The codec step probes for Pillow at runtime (`_pil()`):
+where PIL exists, images decode/resize FOR REAL inside the same
+mapInPandas; where it doesn't (this container), a deterministic stub
+derived from the bytes runs instead, and strict=True raises
+NotImplementedError — so pipelines exercise the exact mapInPandas shape
+they would run with real codecs, and deployments with codecs get real
+decodes with zero pipeline changes. ffmpeg-class codecs (audio/video
+frames) remain stubbed either way.
 
 Design notes for 100 TB:
 - decode runs in ``mapInPandas`` so one Arrow batch amortizes the Python
@@ -58,10 +61,41 @@ FEATURE_SCHEMA = StructType(
 
 def _decode_stub(payload: bytes, kind: str) -> str:
     """STUB for the real codec. Deterministic fake: content hash prefix.
-    Replace with PIL/ffmpeg decode on a cluster with codec libs."""
+    The real-codec escape hatch (`_pil()`) replaces this per-row call
+    where PIL exists; ffmpeg-class codecs stay stubbed either way."""
     if payload is None:
         return None
     return f"{kind}:{hashlib.sha1(payload).hexdigest()[:12]}"
+
+
+def _pil():
+    """Optional real-codec escape hatch: PIL if importable, else None.
+    This container has no codec libraries, so the stub path runs here;
+    on a cluster WITH Pillow the same mapInPandas decodes for real —
+    no pipeline shape change, only the per-row call at the decode seam.
+    Probed once per executor-side import (cheap, cached by sys.modules).
+    """
+    try:
+        from PIL import Image
+
+        return Image
+    except Exception:
+        return None
+
+
+def _image_feature(Image, payload: bytes, strict: bool) -> str | None:
+    """Real image decode via PIL: format/size/mode — the feature a real
+    deployment extracts. Undecodable bytes fall back to the stub (or
+    raise under strict, matching a production 'reject bad media' gate)."""
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            return f"image:{im.format}:{im.size[0]}x{im.size[1]}:{im.mode}"
+    except Exception:
+        if strict:
+            raise
+        return _decode_stub(payload, "image")
 
 
 def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
@@ -72,12 +106,21 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     silently faking features."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil()
         for pdf in batches:
-            if strict:
+            if strict and Image is None:
                 raise NotImplementedError(
                     "media decode requires codec libraries (PIL/ffmpeg); "
                     "not available in this environment"
                 )
+
+            def feat(b, k):
+                if b is None:
+                    return None
+                if Image is not None and k == "image":
+                    return _image_feature(Image, b, strict)
+                return _decode_stub(b, k)
+
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -87,7 +130,7 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
                         lambda b: hashlib.sha1(b).hexdigest() if b is not None else None
                     ),
                     "feature": [
-                        _decode_stub(b, k) for b, k in zip(pdf["payload"], pdf["kind"])
+                        feat(b, k) for b, k in zip(pdf["payload"], pdf["kind"])
                     ],
                 }
             )
@@ -108,8 +151,33 @@ def resize_media(media: DataFrame, max_dim: int = 32, strict: bool = False) -> D
     codec decode/encode would sit."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil()
+
+        def ref(b, nw, nh, img):
+            if not img:
+                return None
+            if Image is not None:
+                # real path: decode, thumbnail, re-encode; the ref is the
+                # re-encoded content hash (what an object-store writer
+                # would key the derived artifact by)
+                import io
+
+                try:
+                    with Image.open(io.BytesIO(b)) as im:
+                        im.thumbnail((max_dim, max_dim))
+                        buf = io.BytesIO()
+                        im.save(buf, format=im.format or "PNG")
+                        return (
+                            f"resize{int(nw)}x{int(nh)}:"
+                            f"{hashlib.sha1(buf.getvalue()).hexdigest()[:12]}"
+                        )
+                except Exception:
+                    if strict:
+                        raise
+            return _decode_stub(b, f"resize{int(nw)}x{int(nh)}")
+
         for pdf in batches:
-            if strict:
+            if strict and Image is None:
                 raise NotImplementedError(
                     "media resize requires codec libraries (PIL/ffmpeg); "
                     "not available in this environment"
@@ -128,7 +196,7 @@ def resize_media(media: DataFrame, max_dim: int = 32, strict: bool = False) -> D
                     "width": new_w.astype("int32"),
                     "height": new_h.astype("int32"),
                     "payload_ref": [
-                        _decode_stub(b, f"resize{int(nw)}x{int(nh)}") if img else None
+                        ref(b, nw, nh, img)
                         for b, nw, nh, img in zip(pdf["payload"], new_w, new_h, is_img)
                     ],
                 }

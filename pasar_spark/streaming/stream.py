@@ -74,9 +74,7 @@ class StreamingIngest:
         if self.merge_mode == "mor":
             compact_buckets(table, min_files=self.compact_min_files)
 
-    def run_available_now(self):
-        """Drain everything currently in the WAL dir, then stop — the
-        testable trigger; production would use a processingTime trigger."""
+    def _start(self, **trigger):
         self.bootstrap()
         # The file source needs an explicit schema: take it from the
         # current WAL contents (a production deployment would pin the
@@ -86,11 +84,26 @@ class StreamingIngest:
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
         stream = reader.parquet(self.wal_path)
-        q = (
+        return (
             stream.writeStream.foreachBatch(self._apply_epoch)
             .option("checkpointLocation", self.checkpoint_path)
-            .trigger(availableNow=True)
+            .trigger(**trigger)
             .start()
         )
+
+    def run_available_now(self):
+        """Drain everything currently in the WAL dir, then stop — the
+        bounded trigger (catch-up / test runs)."""
+        q = self._start(availableNow=True)
         q.awaitTermination()
         return LakeTable.load(self.spark, self.table_path)
+
+    def start(self, processing_time: str = "1 second"):
+        """LIVE tail: fire every ``processing_time``, picking up WAL
+        files as the shipper appends them — the production trigger. The
+        per-epoch core (ledger batch id ``stream-<epoch>``, snapshot
+        commit, MoR compaction) is identical to availableNow, so the
+        exactly-once argument carries over unchanged. Returns the
+        StreamingQuery; callers stop() it (tests) or awaitTermination()
+        (a deployment)."""
+        return self._start(processingTime=processing_time)

@@ -57,11 +57,37 @@ def test_media_feature_extraction(spark):
     assert feats2 == {r.media_id: r.feature for r in feats}
 
 
+def _have_pil() -> bool:
+    from pasar_spark.functions.multimodal import _pil
+
+    return _pil() is not None
+
+
+@pytest.mark.skipif(_have_pil(), reason="strict only raises where no codec lib exists")
 def test_media_strict_mode_raises(spark):
     media = synth_media(spark, 4)
     with pytest.raises(Exception) as ei:
         extract_features(media, strict=True).collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+@pytest.mark.skipif(not _have_pil(), reason="real-codec path needs Pillow")
+def test_media_real_decode_with_pil(spark):
+    """Where Pillow exists the SAME mapInPandas decodes images for real:
+    a genuine PNG payload yields a real format/size feature, and strict
+    mode passes instead of raising."""
+    import io
+
+    from PIL import Image as PILImage
+
+    buf = io.BytesIO()
+    PILImage.new("RGB", (48, 20)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [("real-1", "image", "image/png", bytearray(buf.getvalue()), 48, 20, None)],
+        schema=synth_media(spark, 1).schema,
+    )
+    row = extract_features(media, strict=True).collect()[0]
+    assert row.feature == "image:PNG:48x20:RGB"
 
 
 def test_resize_contract(spark):
@@ -77,9 +103,10 @@ def test_resize_contract(spark):
         else:
             assert (r.width, r.height) == (64, 64)  # pass-through
             assert r.payload_ref is None
-    with pytest.raises(Exception) as ei:
-        resize_media(media, strict=True).collect()
-    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+    if not _have_pil():
+        with pytest.raises(Exception) as ei:
+            resize_media(media, strict=True).collect()
+        assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
 
 
 def test_frame_sampling_cardinality(spark):

@@ -50,6 +50,59 @@ def test_stream_matches_batch_and_resumes(spark, tmp_path):
     assert _state(t3) == _state(t2)
 
 
+def test_live_processing_time_trigger_tails_appends(spark, tmp_path):
+    """A REAL processingTime trigger (not availableNow): a writer thread
+    appends WAL files while the stream is live; the table must converge
+    to the full feed's LWW state through multiple trigger firings, with
+    the epoch-id/ledger exactly-once composition intact."""
+    import threading
+    import time
+
+    from pasar_spark.lake.table import LakeTable
+
+    wal = str(tmp_path / "wal")
+    ev_all = change_events(spark, 6_000, n_convs=80, seed=41)
+    write_change_log(ev_all.where("lsn < 2000"), wal, n_files=2)
+
+    stages = [(2000, 4000), (4000, 6000)]
+
+    def shipper():
+        for lo, hi in stages:
+            time.sleep(1.5)
+            ev_all.where(f"lsn >= {lo} AND lsn < {hi}").repartition(2).write.mode(
+                "append"
+            ).parquet(wal)
+
+    ingest = StreamingIngest(
+        spark, str(tmp_path / "tbl"), wal,
+        checkpoint_path=str(tmp_path / "ckpt"), n_buckets=4,
+    )
+    writer = threading.Thread(target=shipper)
+    q = ingest.start(processing_time="500 milliseconds")
+    writer.start()
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            t = LakeTable.load(spark, str(tmp_path / "tbl"))
+            if t.metrics.get("events_seen", 0) >= 6_000:
+                break
+            time.sleep(0.5)
+    finally:
+        writer.join()
+        q.stop()
+        q.awaitTermination()
+
+    t = LakeTable.load(spark, str(tmp_path / "tbl"))
+    assert t.metrics["events_seen"] >= 6_000
+    # multiple trigger firings actually happened (not one availableNow gulp)
+    epochs = [b for b in t.manifest["ledger"]["batch_ids"] if b.startswith("stream-")]
+    assert len(epochs) >= 2
+    batch = ReplayRunner(
+        spark, str(tmp_path / "tbl_batch"), n_buckets=4, chunk_size=2_000
+    ).replay(wal)
+    assert _state(t) == _state(batch)
+
+
 def test_epoch_redelivery_is_noop(spark, tmp_path):
     """foreachBatch may redeliver an epoch after a crash between our
     snapshot commit and the streaming checkpoint commit; the ledger's
