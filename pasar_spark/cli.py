@@ -152,7 +152,23 @@ def cmd_stream(args) -> int:
         n_buckets=args.buckets,
         merge_mode=args.mode,
     )
-    t = ingest.run_available_now()
+    if args.live:
+        # production live tail: processingTime trigger; --duration bounds
+        # the run (0 = until killed; the checkpoint + ledger make any
+        # stop/restart exactly-once either way)
+        from pasar_spark.lake.table import LakeTable
+
+        q = ingest.start(processing_time=args.trigger_interval)
+        try:
+            if args.duration > 0:
+                q.awaitTermination(args.duration)
+            else:
+                q.awaitTermination()
+        finally:
+            q.stop()
+        t = LakeTable.load(spark, args.table)
+    else:
+        t = ingest.run_available_now()
     print(json.dumps({"table": args.table, "last_lsn": t.last_lsn, "metrics": t.metrics}))
     return 0
 
@@ -290,12 +306,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     i.set_defaults(fn=cmd_ingest)
 
-    s = sub.add_parser("stream", help="drain the WAL via Structured Streaming (availableNow)")
+    s = sub.add_parser(
+        "stream",
+        help="tail the WAL via Structured Streaming (availableNow drain, or --live)",
+    )
     s.add_argument("--table", required=True)
     s.add_argument("--wal", required=True)
     s.add_argument("--checkpoint", required=True)
     s.add_argument("--buckets", type=int, default=16)
     s.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    s.add_argument("--live", action="store_true", help="processingTime trigger instead of availableNow")
+    s.add_argument("--trigger-interval", default="1 second")
+    s.add_argument("--duration", type=int, default=0, help="seconds to tail with --live (0 = forever)")
     s.set_defaults(fn=cmd_stream)
 
     c = sub.add_parser("compact", help="fold MoR delta files")

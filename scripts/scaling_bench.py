@@ -139,14 +139,19 @@ def main():
 
     exec_mem_mb = int(os.environ.get("PASAR_SCALING_EXEC_MEM", "6g").rstrip("g")) * 1024
 
+    cpw = int(os.environ.get("PASAR_SCALING_CORES_PER_WORKER", "4"))
+
     def master_for(workers: int) -> tuple[str, int]:
         if topology == "cluster":
-            # N vs 4N separate EXECUTOR JVMs, 4 cores each — matches the
+            # N vs 4N separate EXECUTOR JVMs, cpw cores each — matches the
             # north rule's executor-count criterion; single-JVM local[n]
             # understates scaling (shared-JVM contention, measured).
             # Worker memory in the master string must cover the executor
             # heap or executors silently fail to launch.
-            return f"local-cluster[{workers},4,{exec_mem_mb + 1024}]", workers * 4
+            return (
+                f"local-cluster[{workers},{cpw},{exec_mem_mb + 1024}]",
+                workers * cpw,
+            )
         return f"local[{workers}]", workers
 
     root = tempfile.mkdtemp(prefix="pasar_scaling_")
