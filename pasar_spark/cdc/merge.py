@@ -74,6 +74,7 @@ def merge_batch(
     normalizer: str = "arrow",  # 'arrow' | 'native' | 'none'
     mode: str = "cow",  # 'cow' (eager merge) | 'mor' (append deltas)
     partition_offsets: dict | None = None,
+    stage: str | None = None,  # WAP: commit as staged snapshot <stage>
 ) -> tuple[LakeTable, dict]:
     """Apply one chunk of change events; returns (new table, metrics delta).
 
@@ -143,6 +144,7 @@ def merge_batch(
             last_lsn=last_lsn,
             metrics_delta=delta,
             partition_offsets=partition_offsets,
+            staged_name=stage,
         )
         return table, delta
 
@@ -232,6 +234,7 @@ def merge_batch(
             last_lsn=last_lsn,
             metrics_delta=delta,
             partition_offsets=partition_offsets,
+            staged_name=stage,
         )
         return table, delta
     finally:

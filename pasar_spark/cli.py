@@ -251,6 +251,23 @@ def cmd_rebucket(args) -> int:
     return 0
 
 
+def cmd_staged(args) -> int:
+    spark = _spark(args)
+    t = _load_table(spark, args.table)
+    if args.publish:
+        t = t.publish_staged(args.publish)
+        print(json.dumps({"table": args.table, "published": args.publish,
+                          "version": t.version, "last_lsn": t.last_lsn}))
+    elif args.discard:
+        t.discard_staged(args.discard)
+        print(json.dumps({"table": args.table, "discarded": args.discard,
+                          "version": t.version}))
+    else:
+        print(json.dumps({"table": args.table, "version": t.version,
+                          "staged": t.staged_refs()}))
+    return 0
+
+
 def cmd_lineage(args) -> int:
     spark = _spark(args)
     t = _load_table(spark, args.table)
@@ -363,6 +380,12 @@ def build_parser() -> argparse.ArgumentParser:
     rk.add_argument("--table", required=True)
     rk.add_argument("--buckets", type=int, required=True)
     rk.set_defaults(fn=cmd_rebucket)
+
+    sg = sub.add_parser("staged", help="list / publish / discard staged (WAP) snapshots")
+    sg.add_argument("--table", required=True)
+    sg.add_argument("--publish", default=None, help="staged name to fast-forward CURRENT to")
+    sg.add_argument("--discard", default=None, help="staged name to drop unpublished")
+    sg.set_defaults(fn=cmd_staged)
 
     ln = sub.add_parser("lineage", help="per-bucket batch/file provenance")
     ln.add_argument("--table", required=True)

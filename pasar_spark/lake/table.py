@@ -362,6 +362,7 @@ class LakeTable:
         metrics_delta: dict | None = None,
         tag: str | None = None,
         partition_offsets: dict | None = None,
+        staged_name: str | None = None,
     ) -> "LakeTable":
         """Swap the file lists of ``replaced_buckets`` for ``new_files`` and
         advance the ledger — one atomic snapshot.
@@ -414,7 +415,9 @@ class LakeTable:
                 m["metrics"][k] = m["metrics"].get(k, 0) + v
             return m
 
-        return self._commit_rebasing(build, batch_id, tag or f"batch-{batch_id}")
+        return self._commit_rebasing(
+            build, batch_id, tag or f"batch-{batch_id}", staged_name=staged_name
+        )
 
     def commit_append(
         self,
@@ -424,6 +427,7 @@ class LakeTable:
         metrics_delta: dict | None = None,
         tag: str | None = None,
         partition_offsets: dict | None = None,
+        staged_name: str | None = None,
     ) -> "LakeTable":
         """Merge-on-read commit: APPEND delta files to their buckets and
         mark those buckets unresolved (reads LWW-resolve them). O(changes)
@@ -466,7 +470,9 @@ class LakeTable:
                 m["metrics"][k] = m["metrics"].get(k, 0) + v
             return m
 
-        return self._commit_rebasing(build, batch_id, tag or f"batch-{batch_id}")
+        return self._commit_rebasing(
+            build, batch_id, tag or f"batch-{batch_id}", staged_name=staged_name
+        )
 
     def commit_replace_deltas(
         self,
@@ -755,6 +761,13 @@ class LakeTable:
             if f.startswith("v") and f.endswith(".json")
         )
         keep = set(versions[-max(keep_last, 1):]) | {self.version}
+        # staged (unpublished) snapshots are live by definition: keep
+        # each staged head and its parent chain down to a kept version
+        for v in self.staged_refs().values():
+            while v not in keep and v in set(versions):
+                keep.add(v)
+                with open(self._manifest_path(self.path, v)) as fh:
+                    v = json.load(fh)["parent_version"]
         referenced: set[str] = set()
         for v in keep:
             with open(self._manifest_path(self.path, v)) as fh:
@@ -843,9 +856,91 @@ class LakeTable:
             )
         }
 
+    # ------------------------------------------------- staged snapshots (WAP)
+    # Write-audit-publish, the Iceberg branch/WAP pattern reduced to its
+    # load-bearing core: a STAGED commit mints a manifest in the normal
+    # linear version space but does NOT advance CURRENT — a named pointer
+    # (metadata/STAGED-<name>) tracks it instead. Readers keep seeing the
+    # old snapshot while audits run against the staged one; publish is a
+    # fast-forward CURRENT flip (atomic, monotonic), discard just drops
+    # the pointer (expire_snapshots reclaims the orphaned manifest+files).
+    # Interactions with the optimistic protocol, both covered by tests:
+    # - crash-repair roll-forward must NEVER auto-publish a staged
+    #   manifest (it checks the manifest's 'staged' marker);
+    # - a main writer whose next version number is occupied by a staged
+    #   manifest re-mints PAST it (versions stay unique; parent_version
+    #   links carry the true history, so numeric gaps are harmless).
+
+    @staticmethod
+    def _staged_pointer(path: str, name: str) -> str:
+        if not name or not all(c.isalnum() or c in "._-" for c in name):
+            raise ValueError(f"invalid staged-snapshot name {name!r}")
+        return os.path.join(path, "metadata", f"STAGED-{name}")
+
+    def staged_refs(self) -> dict[str, int]:
+        meta = os.path.join(self.path, "metadata")
+        out = {}
+        for f in os.listdir(meta):
+            if f.startswith("STAGED-"):
+                with open(os.path.join(meta, f)) as fh:
+                    out[f[len("STAGED-"):]] = int(fh.read().strip())
+        return out
+
+    @classmethod
+    def load_staged(cls, spark: SparkSession, path: str, name: str) -> "LakeTable":
+        """Handle at a staged snapshot's head — what audits read."""
+        with open(cls._staged_pointer(path, name)) as fh:
+            return cls.load(spark, path, version=int(fh.read().strip()))
+
+    def publish_staged(self, name: str) -> "LakeTable":
+        """Atomically expose a staged snapshot to every reader —
+        fast-forward only: the staged head's parent chain must reach the
+        CURRENT version exactly. If main advanced since the stage was
+        built, raises CommitConflict; the caller re-stages on the new
+        base (the ledger's batch-id dedup makes re-staging exactly-once,
+        so a lost publish race can never double-apply a chunk)."""
+        with open(self._staged_pointer(self.path, name)) as fh:
+            head_v = int(fh.read().strip())
+        cur = LakeTable.load(self.spark, self.path)
+        walk = LakeTable.load(self.spark, self.path, version=head_v).manifest
+        while walk["parent_version"] > cur.version:
+            with open(self._manifest_path(self.path, walk["parent_version"])) as fh:
+                walk = json.load(fh)
+        if walk["parent_version"] != cur.version:
+            raise CommitConflict(
+                f"staged snapshot {name!r} (v{head_v}) is stale: its base "
+                f"v{walk['parent_version']} is behind CURRENT v{cur.version}"
+                " — discard and re-stage on the new base"
+            )
+        self._flip_current(self.path, head_v)
+        os.remove(self._staged_pointer(self.path, name))
+        return LakeTable.load(self.spark, self.path)
+
+    def discard_staged(self, name: str) -> None:
+        """Drop a staged snapshot without publishing. The manifest and
+        its data files become unreferenced; expire_snapshots reclaims
+        them. Main history is untouched — that is the whole point."""
+        os.remove(self._staged_pointer(self.path, name))
+
+    def _max_version(self) -> int:
+        meta = os.path.join(self.path, "metadata")
+        return max(
+            (
+                int(f[1:-5])
+                for f in os.listdir(meta)
+                if f.startswith("v") and f.endswith(".json")
+            ),
+            default=0,
+        )
+
     # ------------------------------------------------------------ internals
     def _commit_rebasing(
-        self, build, batch_id: str, tag: str, max_attempts: int = 16
+        self,
+        build,
+        batch_id: str,
+        tag: str,
+        max_attempts: int = 16,
+        staged_name: str | None = None,
     ) -> "LakeTable":
         """Optimistic concurrency (Iceberg's commit strategy): land the
         manifest produced by ``build(base_table)``; on losing the version
@@ -861,6 +956,7 @@ class LakeTable:
 
         base = self
         races = 0  # distinct commits lost to a concurrent WINNER (not retries)
+        retry_version: int | None = None
         for attempt in range(max_attempts):
             m = build(base)
             if races:
@@ -871,36 +967,68 @@ class LakeTable:
                     m["metrics"].get("commit_races", 0) + races
                 )
             try:
-                return base._commit(m, tag=tag)
+                return base._commit(
+                    m, tag=tag, staged_name=staged_name, version=retry_version
+                )
             except FileExistsError:
                 reloaded = LakeTable.load(self.spark, self.path)
                 # A manifest that exists is complete (link-published), so
                 # if the winner crashed before flipping CURRENT we can
-                # roll the pointer forward ourselves and rebase on it.
-                while os.path.exists(
-                    self._manifest_path(self.path, reloaded.version + 1)
-                ):
+                # roll the pointer forward ourselves and rebase on it —
+                # EXCEPT staged manifests, which are unpublished by
+                # definition: rolling CURRENT onto one would auto-publish
+                # an unaudited snapshot.
+                while True:
+                    nxt = self._manifest_path(self.path, reloaded.version + 1)
+                    if not os.path.exists(nxt):
+                        break
+                    with open(nxt) as fh:
+                        if json.load(fh).get("staged"):
+                            break
                     self._flip_current(self.path, reloaded.version + 1)
                     reloaded = LakeTable.load(self.spark, self.path)
                 if batch_id in reloaded.manifest["ledger"]["batch_ids"]:
                     return reloaded
                 if reloaded.version <= base.version:
-                    _time.sleep(0.02 * (attempt + 1))  # CURRENT mid-flip
+                    # CURRENT mid-flip — or our next version number is
+                    # occupied by a STAGED manifest; either way re-mint
+                    # past every existing manifest (numeric gaps are fine,
+                    # parent_version carries the true chain)
+                    _time.sleep(0.02 * (attempt + 1))
                 else:
                     races += 1
+                retry_version = self._max_version() + 1
                 base = reloaded
         raise CommitConflict(
             f"lost {max_attempts} consecutive commit races for {batch_id}"
         )
 
-    def _commit(self, manifest: dict, tag: str | None = None) -> "LakeTable":
-        new_version = self.version + 1
+    def _commit(
+        self,
+        manifest: dict,
+        tag: str | None = None,
+        staged_name: str | None = None,
+        version: int | None = None,
+    ) -> "LakeTable":
+        new_version = version if version is not None else self.version + 1
         manifest["version"] = new_version
         manifest["parent_version"] = self.version
+        if staged_name is not None:
+            manifest["staged"] = staged_name
+        else:
+            manifest.pop("staged", None)  # publish-by-commit never inherits
         if tag:
             manifest["tags"][tag] = new_version
         self._write_manifest(self.path, new_version, manifest)
-        self._flip_current(self.path, new_version)
+        if staged_name is not None:
+            # the pointer is advisory (publish/discard/audit addressing);
+            # the manifest itself is the commit point, same as main
+            tmp = os.path.join(self.path, "metadata", f".staged.{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                fh.write(str(new_version))
+            os.replace(tmp, self._staged_pointer(self.path, staged_name))
+        else:
+            self._flip_current(self.path, new_version)
         return LakeTable(self.spark, self.path, manifest, new_version)
 
     @staticmethod
