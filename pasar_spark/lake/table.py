@@ -563,14 +563,23 @@ class LakeTable:
         return f"commit-{self.version:08d}-{uuid.uuid4().hex[:8]}"
 
     # ------------------------------------------------------- snapshot ops
-    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        pre_images: bool = False,
+    ) -> DataFrame:
         """Incremental (CDC-out) read: the row-level diff between two
         snapshots, the Iceberg/Delta change-data-feed analogue. Emits one
         row per key whose LIVE state differs between ``from_version`` and
         ``to_version`` (default: this snapshot), with ``_change_type`` in
         {'insert','update','delete'}, the post-image payload (null for
         deletes), and the pre-image resolve-order columns
-        (``_prev_<col>``) for lineage.
+        (``_prev_<col>``) for lineage. ``pre_images=True`` additionally
+        emits the pre-image PAYLOAD columns (``_prev_<payload>``, null
+        for inserts) — the Debezium before-image analogue, which is what
+        lets a downstream incremental aggregate compute deltas for
+        sum-like state (cdc/derived.py) instead of rescanning.
 
         Scale shape: the two manifests are diffed DRIVER-SIDE first —
         only buckets whose file lists changed between the versions are
@@ -639,9 +648,17 @@ class LakeTable:
         b = _state([e for b in changed for e in b_buckets.get(b, [])])
 
         live = lambda side: F.col(f"{side}_live")  # noqa: E731
+        # pre-image payload source: materialized winner values on patch
+        # tables, plain columns in row mode
+        pre_cols = (
+            [F.col(f"_pv_{c}.v").alias(f"_a_{c}") for c in pv_names]
+            if is_patch
+            else [F.col(c).alias(f"_a_{c}") for c in payload]
+        ) if pre_images else []
         a = a.select(
             *[F.col(k).alias(f"_ak_{i}") for i, k in enumerate(key)],
             *[F.col(c).alias(f"_a_{c}") for c in order],
+            *pre_cols,
             # patch tables diff by COLUMN winners (below), which needs the
             # pre-image structs on the A side
             *[F.col(f"_pv_{c}").alias(f"_apv_{c}") for c in (pv_names if is_patch else [])],
@@ -704,7 +721,10 @@ class LakeTable:
                     F.when(b_exists, F.col(c)).alias(c)
                     for c in [*order, *payload]
                 ],
-                *[F.col(f"_a_{c}").alias(f"_prev_{c}") for c in order],
+                *[
+                    F.col(f"_a_{c}").alias(f"_prev_{c}")
+                    for c in [*order, *(payload if pre_images else [])]
+                ],
             )
         )
 

@@ -1,0 +1,141 @@
+"""Incremental derived-table maintenance (cdc/derived.py).
+
+Invariant: after every refresh, the derived aggregate equals a
+from-scratch groupBy of the source's live state — while the refresh
+itself only reads the CDF slice plus the touched aggregate buckets.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pasar_spark.cdc.derived import DerivedConvStats
+from pasar_spark.cdc.runner import ReplayRunner
+from pasar_spark.datagen import change_events, write_change_log
+from pasar_spark.lake.table import LakeTable
+
+
+def _oracle(src: LakeTable):
+    return sorted(
+        (r["conv_id"], r["n_turns"], r["total_chars"])
+        for r in src.read()
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.coalesce(F.sum(F.length("text").cast("long")), F.lit(0)).alias(
+                "total_chars"
+            ),
+        )
+        .collect()
+    )
+
+
+def _state(stats: DerivedConvStats):
+    return sorted(
+        (r["conv_id"], r["n_turns"], r["total_chars"]) for r in stats.read().collect()
+    )
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path):
+    wal = str(tmp_path / "wal")
+    ev = change_events(spark, 6_000, n_convs=80, seed=83, delete_fraction=0.1)
+    write_change_log(ev, wal, n_files=4)
+    runner = ReplayRunner(spark, str(tmp_path / "src"), n_buckets=4, chunk_size=2_000)
+    stats = DerivedConvStats(
+        spark, str(tmp_path / "src"), str(tmp_path / "derived"), n_buckets=4
+    )
+    return wal, runner, stats
+
+
+def test_full_then_incremental_matches_oracle(spark, pipeline):
+    wal, runner, stats = pipeline
+    src = runner.replay(wal, stop_after_chunks=1)
+    der, info = stats.refresh()
+    assert info["mode"] == "full"
+    assert _state(stats) == _oracle(src)
+
+    # more source commits (updates + deletes across chunks), then an
+    # incremental fold of everything since
+    src = runner.replay(wal)
+    der, info = stats.refresh()
+    assert info["mode"] == "incremental"
+    assert _state(stats) == _oracle(src)
+    # checkpoint advanced to the source head, atomically with the data
+    assert der.source_offset("__source_version__") == src.version
+
+
+def test_refresh_is_idempotent_and_noop_when_caught_up(spark, pipeline):
+    wal, runner, stats = pipeline
+    runner.replay(wal)
+    stats.refresh()
+    der1, info1 = stats.refresh()
+    assert info1["mode"] == "noop"
+    der2, info2 = stats.refresh()
+    assert der2.version == der1.version
+
+
+def test_fully_deleted_conversation_leaves_derived(spark, pipeline):
+    wal, runner, stats = pipeline
+    src = runner.replay(wal)
+    stats.refresh()
+    # delete every live turn of one conversation via the engine
+    victim = src.read().select("conv_id").first()["conv_id"]
+    turns = [r["turn_idx"] for r in src.read().where(F.col("conv_id") == victim).collect()]
+    from pasar_spark.cdc.merge import merge_batch
+
+    deletes = (
+        spark.createDataFrame(
+            [(victim, t, "D", 900_000 + i, None) for i, t in enumerate(turns)],
+            "conv_id string, turn_idx int, op string, lsn bigint, text string",
+        )
+        .withColumn("ts", F.lit("2026-08-01 00:00:00").cast("timestamp"))
+        .withColumn("role", F.lit(None).cast("string"))
+        .withColumn("tool", F.lit(None).cast("string"))
+    )
+    src2, _ = merge_batch(src, deletes, "kill-conv", last_lsn=900_000 + len(turns))
+    der, info = stats.refresh()
+    assert info["mode"] == "incremental"
+    assert stats.read().where(F.col("conv_id") == victim).count() == 0
+    assert _state(stats) == _oracle(src2)
+
+
+def test_incremental_refresh_prunes_buckets(spark, pipeline):
+    """A change localized to one conversation touches only that
+    conversation's aggregate bucket — the O(changes) claim."""
+    wal, runner, stats = pipeline
+    src = runner.replay(wal)
+    stats.refresh()
+    conv = src.read().select("conv_id").first()["conv_id"]
+    from pasar_spark.cdc.merge import merge_batch
+
+    upd = (
+        spark.createDataFrame(
+            [(conv, 0, "U", 950_000, "a longer updated text body")],
+            "conv_id string, turn_idx int, op string, lsn bigint, text string",
+        )
+        .withColumn("ts", F.lit("2026-08-02 00:00:00").cast("timestamp"))
+        .withColumn("role", F.lit("user"))
+        .withColumn("tool", F.lit(None).cast("string"))
+    )
+    src2, _ = merge_batch(src, upd, "one-conv-touch", last_lsn=950_000)
+    der, info = stats.refresh()
+    assert info["mode"] == "incremental"
+    assert info["touched_buckets"] == 1
+    assert _state(stats) == _oracle(src2)
+
+
+def test_changes_pre_images_emit_before_values(spark, pipeline):
+    wal, runner, stats = pipeline
+    src1 = runner.replay(wal, stop_after_chunks=1)
+    v1 = src1.version
+    src2 = runner.replay(wal)
+    ch = src2.changes(v1, pre_images=True)
+    assert "_prev_text" in ch.columns and "_prev_role" in ch.columns
+    upd = ch.where("_change_type = 'update'")
+    if upd.count():
+        row = upd.first()
+        assert row["_prev_lsn"] is not None
+        # an update's pre-image text is the OLD winner, distinct version
+        assert row["lsn"] != row["_prev_lsn"]
