@@ -25,9 +25,16 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("PASAR_SPARK_MASTER", "local[*]")
+    # Under spark-submit the gateway JVM already exists and carries the
+    # submitted --master/--conf (PYSPARK_GATEWAY_PORT is how the python
+    # driver finds it); forcing local[*] here would fight the submit.
+    # Explicit callers and PASAR_SPARK_MASTER still win.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    master = master or os.environ.get("PASAR_SPARK_MASTER") or (
+        None if under_submit else "local[*]"
+    )
     cores = os.cpu_count() or 4
-    if master.startswith("local["):
+    if master and master.startswith("local["):
         inner = master[len("local[") : -1]
         if inner != "*":
             cores = int(inner)
@@ -36,7 +43,6 @@ def get_spark(
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -50,6 +56,8 @@ def get_spark(
         # snappy at similar CPU — matters at 100 TB.
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    if master:
+        builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
