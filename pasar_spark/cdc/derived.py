@@ -76,9 +76,22 @@ class DerivedConvStats:
         return LakeTable.load(self.spark, self.derived_path).read()
 
     # ------------------------------------------------------------------
+    def _source_state(self, src: LakeTable) -> DataFrame:
+        """Materialized live view of the source — patch tables store
+        per-column winner structs, so their user view needs the patch
+        materialize; row tables read directly. The INCREMENTAL path needs
+        no such branch: changes() already materializes both images."""
+        if src.manifest.get("conflict") == "patch":
+            from pasar_spark.cdc.patch import materialize, payload_names
+
+            return materialize(
+                src.read(include_tombstones=True), payload_names(src)
+            )
+        return src.read()
+
     def _full_aggregate(self, src: LakeTable) -> DataFrame:
         return (
-            src.read()
+            self._source_state(src)
             .groupBy("conv_id")
             .agg(
                 F.count(F.lit(1)).alias("n_turns"),

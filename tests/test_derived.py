@@ -126,6 +126,51 @@ def test_incremental_refresh_prunes_buckets(spark, pipeline):
     assert _state(stats) == _oracle(src2)
 
 
+def test_derived_over_patch_source(spark, tmp_path):
+    """IVM works against a PATCH-mode source too: the bootstrap aggregate
+    materializes winner structs, and the incremental path rides the
+    already-materialized CDF images."""
+    from pasar_spark.cdc.patch import PatchReplayRunner, merge_patch_chunk
+
+    ev = (
+        change_events(spark, 4_000, n_convs=60, seed=91, delete_fraction=0.1)
+        .withColumn(
+            "text", F.when(F.col("lsn") % 3 == 0, F.lit(None)).otherwise(F.col("text"))
+        )
+        .select("conv_id", "turn_idx", "op", "ts", "lsn", "role", "text", "tool")
+    )
+    wal = str(tmp_path / "pwal")
+    write_change_log(ev, wal, n_files=2)
+    runner = PatchReplayRunner(spark, str(tmp_path / "src"), n_buckets=4, chunk_size=2_000)
+    src = runner.replay(wal, max_events=2_000)
+    stats = DerivedConvStats(
+        spark, str(tmp_path / "src"), str(tmp_path / "derived"), n_buckets=4
+    )
+
+    def patch_oracle():
+        return sorted(
+            (r["conv_id"], r["n_turns"], r["total_chars"])
+            for r in runner.read()
+            .groupBy("conv_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.coalesce(F.sum(F.length("text").cast("long")), F.lit(0)).alias(
+                    "total_chars"
+                ),
+            )
+            .collect()
+        )
+
+    der, info = stats.refresh()
+    assert info["mode"] == "full"
+    assert _state(stats) == patch_oracle()
+
+    runner.replay(wal)  # the rest of the feed (partial updates + deletes)
+    der, info = stats.refresh()
+    assert info["mode"] == "incremental"
+    assert _state(stats) == patch_oracle()
+
+
 def test_changes_pre_images_emit_before_values(spark, pipeline):
     wal, runner, stats = pipeline
     src1 = runner.replay(wal, stop_after_chunks=1)
