@@ -43,6 +43,7 @@ class StreamingIngest:
         max_files_per_trigger: int | None = None,
         merge_mode: str = "mor",
         compact_min_files: int = 8,
+        audit_checks=None,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -54,6 +55,13 @@ class StreamingIngest:
         self.max_files_per_trigger = max_files_per_trigger
         self.merge_mode = merge_mode
         self.compact_min_files = compact_min_files
+        # quality-gated streaming (WAP per epoch): each micro-batch is
+        # committed STAGED, audited by these checks against the staged
+        # state, and only a passing audit publishes — readers of a live
+        # tail never observe a bad epoch; a failing epoch raises, the
+        # stream stops, and on restart the same epoch re-stages (the
+        # batch id only entered the ledger if it published)
+        self.audit_checks = audit_checks
 
     def bootstrap(self) -> LakeTable:
         return bootstrap_table(self.spark, self.table_path, self.n_buckets)
@@ -68,9 +76,18 @@ class StreamingIngest:
             if ver > table.manifest["ledger"].get("feed_schema_ver", 0):
                 table = self.evolution_plan.apply_up_to(table, ver)
         batch_df = promote_extra(batch_df, table)
-        table, _ = merge_batch(
-            table, batch_df, batch_id, normalizer=self.normalizer, mode=self.merge_mode
-        )
+        if self.audit_checks is not None:
+            from pasar_spark.cdc.wap import write_audit_publish
+
+            table, _, _ = write_audit_publish(
+                table, batch_df, batch_id, checks=self.audit_checks,
+                normalizer=self.normalizer, mode=self.merge_mode,
+            )
+        else:
+            table, _ = merge_batch(
+                table, batch_df, batch_id,
+                normalizer=self.normalizer, mode=self.merge_mode,
+            )
         if self.merge_mode == "mor":
             compact_buckets(table, min_files=self.compact_min_files)
 

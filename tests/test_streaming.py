@@ -103,6 +103,56 @@ def test_live_processing_time_trigger_tails_appends(spark, tmp_path):
     assert _state(t) == _state(batch)
 
 
+def test_quality_gated_stream_publishes_good_epochs(spark, tmp_path):
+    """audit_checks turns the tail into WAP-per-epoch: good epochs stage,
+    audit, publish — final state equals plain batch replay."""
+    from pasar_spark.cdc.quality import assert_unique_key
+
+    wal = str(tmp_path / "wal")
+    write_change_log(change_events(spark, 3_000, n_convs=40, seed=51), wal, n_files=2)
+    ingest = StreamingIngest(
+        spark, str(tmp_path / "tbl"), wal,
+        checkpoint_path=str(tmp_path / "ckpt"), n_buckets=4,
+        audit_checks=[lambda df: assert_unique_key(df, ["conv_id", "turn_idx"])],
+    )
+    t = ingest.run_available_now()
+    batch = ReplayRunner(
+        spark, str(tmp_path / "tbl_batch"), n_buckets=4, chunk_size=2_000
+    ).replay(wal)
+    assert _state(t) == _state(batch)
+    assert t.staged_refs() == {}  # every stage published
+
+
+def test_quality_gated_stream_halts_on_bad_epoch(spark, tmp_path):
+    """A vetoed epoch discards its stage and STOPS the stream — readers
+    never observe the bad rows, and the table is exactly where it was."""
+    from pyspark.sql import functions as F
+
+    from pasar_spark.cdc.quality import QualityError, assert_no_nulls
+
+    wal = str(tmp_path / "wal")
+    bad = change_events(spark, 2_000, n_convs=30, seed=52).withColumn(
+        "text", F.lit(None).cast("string")
+    )
+    write_change_log(bad, wal, n_files=2)
+    ingest = StreamingIngest(
+        spark, str(tmp_path / "tbl"), wal,
+        checkpoint_path=str(tmp_path / "ckpt"), n_buckets=4,
+        normalizer="none",
+        audit_checks=[lambda df: assert_no_nulls(df.where("lsn >= 0"), ["text"])],
+    )
+    import pytest as _p
+
+    with _p.raises(Exception) as ei:
+        ingest.run_available_now()
+    assert "QualityError" in str(ei.value) or "nulls" in str(ei.value)
+    from pasar_spark.lake.table import LakeTable
+
+    t = LakeTable.load(spark, str(tmp_path / "tbl"))
+    assert t.read().count() == 0  # nothing published
+    assert t.staged_refs() == {}  # the vetoed stage was discarded
+
+
 def test_epoch_redelivery_is_noop(spark, tmp_path):
     """foreachBatch may redeliver an epoch after a crash between our
     snapshot commit and the streaming checkpoint commit; the ledger's
