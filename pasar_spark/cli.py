@@ -251,6 +251,20 @@ def cmd_rebucket(args) -> int:
     return 0
 
 
+def cmd_derive(args) -> int:
+    from pasar_spark.cdc.derived import DerivedConvStats
+
+    spark = _spark(args)
+    _load_table(spark, args.source)  # fail fast with the friendly error
+    stats = DerivedConvStats(
+        spark, args.source, args.table, n_buckets=args.buckets
+    )
+    t, info = stats.refresh()
+    print(json.dumps({"source": args.source, "table": args.table,
+                      "version": t.version, **info}))
+    return 0
+
+
 def cmd_staged(args) -> int:
     spark = _spark(args)
     t = _load_table(spark, args.table)
@@ -380,6 +394,12 @@ def build_parser() -> argparse.ArgumentParser:
     rk.add_argument("--table", required=True)
     rk.add_argument("--buckets", type=int, required=True)
     rk.set_defaults(fn=cmd_rebucket)
+
+    dv = sub.add_parser("derive", help="refresh the incremental conv-stats aggregate from the CDF")
+    dv.add_argument("--source", required=True, help="transcripts lake table path")
+    dv.add_argument("--table", required=True, help="derived aggregate table path")
+    dv.add_argument("--buckets", type=int, default=16)
+    dv.set_defaults(fn=cmd_derive)
 
     sg = sub.add_parser("staged", help="list / publish / discard staged (WAP) snapshots")
     sg.add_argument("--table", required=True)
