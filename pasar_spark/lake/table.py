@@ -99,7 +99,26 @@ class LakeTable:
         return cls(spark, path, manifest, 1)
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str, version: int | None = None) -> "LakeTable":
+    def load(
+        cls,
+        spark: SparkSession,
+        path: str,
+        version: int | None = None,
+        tag: str | None = None,
+    ) -> "LakeTable":
+        """Load CURRENT, a pinned ``version``, or a named ``tag`` (tags
+        are recorded per commit in the manifest — Iceberg tag refs; e.g.
+        ``tag='rename-text-body'`` for time travel by event name)."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            with open(os.path.join(path, "metadata", CURRENT)) as fh:
+                cur = int(fh.read().strip())
+            with open(cls._manifest_path(path, cur)) as fh:
+                tags = json.load(fh)["tags"]
+            if tag not in tags:
+                raise KeyError(f"unknown tag {tag!r}; have {sorted(tags)}")
+            version = tags[tag]
         if version is None:
             with open(os.path.join(path, "metadata", CURRENT)) as fh:
                 version = int(fh.read().strip())

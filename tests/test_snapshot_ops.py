@@ -142,6 +142,27 @@ def test_changes_across_compaction_is_empty(spark, halves):
     assert compacted.changes(v1).count() == t2.changes(v1).count()
 
 
+def test_load_by_tag(spark, tmp_path):
+    """Tag refs: every commit records its tag -> version; load(tag=...)
+    time-travels by event name instead of version number."""
+    from pasar_spark.cdc.runner import ReplayRunner
+    from pasar_spark.datagen import change_events, write_change_log
+
+    wal = str(tmp_path / "wal")
+    write_change_log(change_events(spark, 1_000, n_convs=20, seed=13), wal, n_files=1)
+    t = ReplayRunner(spark, str(tmp_path / "t"), n_buckets=2, chunk_size=400).replay(wal)
+    tags = t.manifest["tags"]
+    name, version = sorted(tags.items())[0]
+    at_tag = LakeTable.load(spark, t.path, tag=name)
+    assert at_tag.version == version
+    import pytest as _p
+
+    with _p.raises(KeyError, match="unknown tag"):
+        LakeTable.load(spark, t.path, tag="nope")
+    with _p.raises(ValueError):
+        LakeTable.load(spark, t.path, version=1, tag=name)
+
+
 def test_rollback_restores_state_and_replays_forward(spark, tmp_path):
     wal = str(tmp_path / "wal")
     write_change_log(change_events(spark, 8_000, n_convs=80, seed=31), wal, n_files=4)
