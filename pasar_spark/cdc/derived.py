@@ -116,6 +116,26 @@ class DerivedConvStats:
             F.sum(post_len - pre_len).alias("d_chars"),
         )
 
+    def _full_refresh(
+        self, src: LakeTable, der: LakeTable, frm: int
+    ) -> tuple[LakeTable, dict]:
+        """One full aggregate of the source snapshot, replacing every
+        derived bucket and re-checkpointing at src.version."""
+        batch_id = f"cdf-full-v{src.version}"
+        if der.has_batch(batch_id):
+            return der, {"mode": "noop"}
+        agg = self._full_aggregate(src).withColumn("_bucket", der.bucket_expr())
+        files = der.write_files(agg, der.new_commit_id())
+        der = der.commit_merge(
+            replaced_buckets=[int(b) for b in der.manifest["buckets"]],
+            new_files=files,
+            batch_id=batch_id,
+            partition_offsets={_SRC: src.version},
+        )
+        return der, {
+            "consumed_from": frm, "consumed_to": src.version, "mode": "full",
+        }
+
     def refresh(self) -> tuple[LakeTable, dict]:
         """Fold source commits since the last consumed version into the
         aggregate. Returns (derived table, info)."""
@@ -128,27 +148,20 @@ class DerivedConvStats:
         if frm < 1:
             # first refresh: one full aggregate of the source snapshot —
             # the only O(source) pass this table ever takes
-            batch_id = f"cdf-full-v{src.version}"
-            if der.has_batch(batch_id):
-                return der, {"mode": "noop"}
-            agg = self._full_aggregate(src).withColumn("_bucket", der.bucket_expr())
-            files = der.write_files(agg, der.new_commit_id())
-            der = der.commit_merge(
-                replaced_buckets=[int(b) for b in der.manifest["buckets"]],
-                new_files=files,
-                batch_id=batch_id,
-                partition_offsets={_SRC: src.version},
-            )
-            return der, {
-                "consumed_from": 0, "consumed_to": src.version, "mode": "full",
-            }
+            return self._full_refresh(src, der, 0)
 
         batch_id = f"cdf-v{frm}-v{src.version}"
         if der.has_batch(batch_id):
             return der, {"mode": "noop"}
-        delta = self._delta(
-            src.changes(frm, pre_images=True)
-        ).withColumn("_bucket", der.bucket_expr())
+        try:
+            changes = src.changes(frm, pre_images=True)
+        except FileNotFoundError:
+            # the source's expire_snapshots dropped manifest v{frm}
+            # because this consumer lagged past the retention window —
+            # the delta is unrecoverable, so pay one full re-aggregate
+            # (replace all buckets) instead of failing forever
+            return self._full_refresh(src, der, frm)
+        delta = self._delta(changes).withColumn("_bucket", der.bucket_expr())
         delta = delta.persist()
         try:
             affected = sorted(

@@ -24,7 +24,6 @@ from collections.abc import Callable, Iterable
 from pyspark.sql import DataFrame
 
 from pasar_spark.cdc.merge import merge_batch
-from pasar_spark.cdc.quality import QualityError
 from pasar_spark.lake.table import CommitConflict, LakeTable
 
 
@@ -68,7 +67,14 @@ def write_audit_publish(
         try:
             for check in checks:
                 check(view)
-        except QualityError:
+        except Exception:
+            # QualityError is the designed veto, but ANY failure here
+            # (a crashing check, a read error) must not leak the stage:
+            # a leftover STAGED pointer pins its whole parent chain
+            # against expire_snapshots indefinitely. Discard, then
+            # re-raise — the chunk can be re-staged exactly-once.
+            # (Crashes that kill the process before this line are
+            # covered by expire_snapshots(staged_ttl_sec=...).)
             table.discard_staged(stage_name)
             raise
         try:

@@ -8,8 +8,9 @@ mapInPandas; where it doesn't (this container), a deterministic stub
 derived from the bytes runs instead, and strict=True raises
 NotImplementedError — so pipelines exercise the exact mapInPandas shape
 they would run with real codecs, and deployments with codecs get real
-decodes with zero pipeline changes. ffmpeg-class codecs (audio/video
-frames) remain stubbed either way.
+decodes with zero pipeline changes. The frame-sampling path has the same
+hatch for ffmpeg-class codecs (`_av()`: PyAV if importable); audio-only
+decode remains stubbed either way.
 
 Design notes for 100 TB:
 - decode runs in ``mapInPandas`` so one Arrow batch amortizes the Python
@@ -214,13 +215,60 @@ def resize_media(media: DataFrame, max_dim: int = 32, strict: bool = False) -> D
     return media.mapInPandas(run, schema=schema)
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+def _av():
+    """Optional ffmpeg-class escape hatch (same pattern as `_pil()`):
+    PyAV if importable, else None. This container has no ffmpeg binding,
+    so the stub path runs here; on a cluster WITH PyAV the same
+    mapInPandas seeks and decodes real frames — identical pipeline
+    shape, only the per-item call at the decode seam changes."""
+    try:
+        import av
+
+        return av
+    except Exception:
+        return None
+
+
+def _real_frame_ref(av, payload: bytes, t_ms: int) -> str | None:
+    """Real frame decode via PyAV: seek to t_ms, decode the next frame,
+    key the artifact by its pixel-plane content hash. Undecodable bytes
+    fall back to the stub (a production gate would reject them)."""
+    import io
+
+    try:
+        with av.open(io.BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            container.seek(
+                int(t_ms * 1000), backward=True, any_frame=False, stream=stream
+            )
+            for frame in container.decode(stream):
+                planes = b"".join(bytes(p) for p in frame.planes)
+                return (
+                    f"frame@{t_ms}:{frame.width}x{frame.height}:"
+                    f"{hashlib.sha1(planes).hexdigest()[:12]}"
+                )
+        return _decode_stub(payload, f"frame@{t_ms}")
+    except Exception:
+        return _decode_stub(payload, f"frame@{t_ms}")
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, strict: bool = False) -> DataFrame:
     """Video frame sampling: 1 input row -> N output rows (one per sampled
     frame timestamp). Output cardinality change is why this is mapInPandas
-    and not a scalar UDF. Frame decode itself is the same stub."""
+    and not a scalar UDF. Frame decode probes for an ffmpeg-class binding
+    (`_av()`, mirroring the PIL hatch): with PyAV present, video rows
+    seek-and-decode REAL frames at the sampled timestamps; without it
+    (this container) the deterministic stub runs, and strict=True raises
+    instead of faking — the honest no-codec surface."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        av = _av()
         for pdf in batches:
+            if strict and av is None:
+                raise NotImplementedError(
+                    "frame decode requires an ffmpeg binding (PyAV); "
+                    "not available in this environment"
+                )
             # vectorized 1->N expansion: repeat each row by its frame
             # count, then a cumcount per original row gives the frame
             # timestamp — no iterrows (the per-row anti-pattern the
@@ -230,13 +278,21 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             n_frames = (dur + every_ms - 1) // every_ms
             rep = pdf.loc[pdf.index.repeat(n_frames)].reset_index()
             frame_ms = rep.groupby("index").cumcount() * every_ms
+
+            def fref(b, t, k):
+                if av is not None and k == "video" and b is not None:
+                    return _real_frame_ref(av, b, int(t))
+                return _decode_stub(b, f"frame@{t}")
+
             out = pd.DataFrame(
                 {
                     "media_id": rep["media_id"],
                     "frame_ms": frame_ms.astype("int32"),
                     "frame_ref": [
-                        _decode_stub(b, f"frame@{t}")
-                        for b, t in zip(rep["payload"], frame_ms)
+                        fref(b, t, k)
+                        for b, t, k in zip(
+                            rep["payload"], frame_ms, rep["kind"]
+                        )
                     ],
                 }
             )

@@ -48,6 +48,15 @@ class CommitConflict(Exception):
     pass
 
 
+class _StaleCommit(CommitConflict):
+    """A linked manifest turned out to fork before the acknowledged
+    CURRENT head (the chain-aware flip refused it). The version number
+    is consumed but the commit is orphaned; the writer must rebase on
+    the new head and re-mint. _commit_rebasing retries this
+    transparently; direct _commit callers (DDL, rollback, rebucket)
+    surface it as the public CommitConflict it is."""
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, path: str, manifest: dict, version: int):
         self.spark = spark
@@ -777,7 +786,10 @@ class LakeTable:
         return self._commit(m, tag=f"rollback-to-v{version}")
 
     def expire_snapshots(
-        self, keep_last: int = 2, min_age_sec: float = 0.0
+        self,
+        keep_last: int = 2,
+        min_age_sec: float = 0.0,
+        staged_ttl_sec: float | None = None,
     ) -> dict:
         """Expire old snapshots and delete data files no retained snapshot
         references (Iceberg expire_snapshots + remove_orphan_files).
@@ -790,16 +802,51 @@ class LakeTable:
         Time travel / changes() to expired versions stops working — that
         is the storage-reclaim trade every lakehouse makes; run with a
         retention window sized to the downstream consumers' lag.
+
+        ``staged_ttl_sec``: staged (unpublished) snapshots normally pin
+        their whole parent chain — live audits must keep reading. But an
+        audit that CRASHED (neither published nor discarded) would pin
+        storage forever; a staged pointer older than this TTL is dropped
+        here, after which its manifests and files expire normally. None
+        (default) keeps today's pin-forever behavior.
         """
         import time as _time
 
         meta = os.path.join(self.path, "metadata")
+        if staged_ttl_sec is not None:
+            now = _time.time()
+            for name in list(self.staged_refs()):
+                ptr = self._staged_pointer(self.path, name)
+                try:
+                    if now - os.path.getmtime(ptr) > staged_ttl_sec:
+                        os.remove(ptr)
+                except FileNotFoundError:
+                    pass  # published/discarded concurrently
         versions = sorted(
             int(f[1:-5])
             for f in os.listdir(meta)
             if f.startswith("v") and f.endswith(".json")
         )
-        keep = set(versions[-max(keep_last, 1):]) | {self.version}
+        vset = set(versions)
+        # keep the newest keep_last snapshots ON the CURRENT chain —
+        # walked via parent_version, not taken by number, so orphaned
+        # forks (lost commit races) and dropped stages never displace
+        # real history from the retention window
+        try:
+            with open(os.path.join(meta, CURRENT)) as fh:
+                head = int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            head = self.version
+        keep = {self.version}
+        v = head
+        for _ in range(max(keep_last, 1)):
+            keep.add(v)
+            if v not in vset:
+                break
+            with open(self._manifest_path(self.path, v)) as fh:
+                v = json.load(fh)["parent_version"]
+            if v not in vset:
+                break
         # staged (unpublished) snapshots are live by definition: keep
         # each staged head and its parent chain down to a kept version
         for v in self.staged_refs().values():
@@ -951,7 +998,19 @@ class LakeTable:
                 f"v{walk['parent_version']} is behind CURRENT v{cur.version}"
                 " — discard and re-stage on the new base"
             )
-        self._flip_current(self.path, head_v)
+        # The staleness walk above is only a fast path: a main commit can
+        # land between it and the flip. The chain-aware flip is the real
+        # gate — it refuses (returns False) unless head_v fast-forwards
+        # the CURRENT acknowledged at flip time, so a lost race can never
+        # silently no-op while we report 'published'. On refusal the
+        # STAGED pointer is LEFT IN PLACE and the caller re-stages.
+        if not self._flip_current(self.path, head_v):
+            fresh = LakeTable.load(self.spark, self.path)
+            raise CommitConflict(
+                f"staged snapshot {name!r} (v{head_v}) lost the publish "
+                f"race: CURRENT moved to v{fresh.version} mid-publish — "
+                "discard and re-stage on the new base"
+            )
         os.remove(self._staged_pointer(self.path, name))
         return LakeTable.load(self.spark, self.path)
 
@@ -973,6 +1032,40 @@ class LakeTable:
         )
 
     # ------------------------------------------------------------ internals
+    def _roll_forward(self) -> "LakeTable":
+        """Crash repair: advance CURRENT over every complete, non-staged
+        manifest that EXTENDS the current head. A manifest that exists
+        is complete (link-published), so if its writer crashed between
+        the link and the flip we can finish the flip for it.
+
+        Chain-aware: children are matched by parent_version, not by
+        CURRENT+1 — a STAGED manifest occupying the next version number
+        must never be auto-published, but it also must not hide a main
+        commit minted PAST it (version numbers can gap; parent links
+        carry the true history). When two non-staged siblings share a
+        parent (both writers crashed pre-flip), the lowest version wins
+        deterministically; a still-live sibling writer sees itself off
+        the chain and re-mints."""
+        while True:
+            cur = LakeTable.load(self.spark, self.path)
+            child = None
+            for v in range(cur.version + 1, self._max_version() + 1):
+                p = self._manifest_path(self.path, v)
+                if not os.path.exists(p):
+                    continue
+                with open(p) as fh:
+                    m = json.load(fh)
+                if m.get("staged"):
+                    continue
+                if m["parent_version"] == cur.version:
+                    child = v
+                    break
+            if child is None:
+                return cur
+            # a failed flip means CURRENT moved concurrently — reload
+            # and keep walking from the new head (progress is monotonic)
+            self._flip_current(self.path, child)
+
     def _commit_rebasing(
         self,
         build,
@@ -1009,23 +1102,13 @@ class LakeTable:
                 return base._commit(
                     m, tag=tag, staged_name=staged_name, version=retry_version
                 )
-            except FileExistsError:
-                reloaded = LakeTable.load(self.spark, self.path)
-                # A manifest that exists is complete (link-published), so
-                # if the winner crashed before flipping CURRENT we can
-                # roll the pointer forward ourselves and rebase on it —
-                # EXCEPT staged manifests, which are unpublished by
-                # definition: rolling CURRENT onto one would auto-publish
-                # an unaudited snapshot.
-                while True:
-                    nxt = self._manifest_path(self.path, reloaded.version + 1)
-                    if not os.path.exists(nxt):
-                        break
-                    with open(nxt) as fh:
-                        if json.load(fh).get("staged"):
-                            break
-                    self._flip_current(self.path, reloaded.version + 1)
-                    reloaded = LakeTable.load(self.spark, self.path)
+            except (FileExistsError, _StaleCommit):
+                # FileExistsError: another writer claimed our version
+                # number. _StaleCommit: we linked a manifest but CURRENT
+                # advanced past our base first — the chain-aware flip
+                # refused to bury the winner, our manifest is orphaned.
+                # Either way: repair, rebase, re-mint.
+                reloaded = self._roll_forward()
                 if batch_id in reloaded.manifest["ledger"]["batch_ids"]:
                     return reloaded
                 if reloaded.version <= base.version:
@@ -1067,7 +1150,11 @@ class LakeTable:
                 fh.write(str(new_version))
             os.replace(tmp, self._staged_pointer(self.path, staged_name))
         else:
-            self._flip_current(self.path, new_version)
+            if not self._flip_current(self.path, new_version):
+                # CURRENT advanced past our base between the manifest
+                # link and the flip; our manifest forks the acknowledged
+                # history and must not be returned as a success.
+                raise _StaleCommit(new_version)
         return LakeTable(self.spark, self.path, manifest, new_version)
 
     @staticmethod
@@ -1093,30 +1180,81 @@ class LakeTable:
             os.unlink(tmp)
 
     @staticmethod
-    def _flip_current(path: str, version: int) -> None:
-        """Advance the CURRENT pointer — MONOTONICALLY. A plain
-        os.replace could move it backwards: writer A links manifest v2,
-        stalls before flipping; writer B's crash-repair rolls CURRENT to
-        2, rebases, commits v3 (CURRENT=3); A resumes and would clobber
-        CURRENT back to 2, hiding B's acknowledged commit. So: never
-        replace when the pointer already names a version >= ours, and
-        verify after the replace (a racing lower flip from an old binary
-        is re-fixed by looping)."""
+    def _chain_reaches(path: str, version: int, ancestor: int) -> bool:
+        """True iff walking parent_version links down from ``version``
+        lands exactly on ``ancestor`` (0 = table creation reaches all).
+        Parent versions strictly decrease, so this terminates."""
+        v = version
+        while v > ancestor:
+            p = LakeTable._manifest_path(path, v)
+            if not os.path.exists(p):
+                return False
+            with open(p) as fh:
+                v = json.load(fh)["parent_version"]
+        return v == ancestor
+
+    @staticmethod
+    def _on_current_chain(path: str, version: int) -> bool:
+        """True iff ``version`` is an ancestor-or-self of CURRENT — i.e.
+        the commit is part of the acknowledged history, not orphaned."""
+        try:
+            with open(os.path.join(path, "metadata", CURRENT)) as fh:
+                cur = int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return False
+        return cur >= version and LakeTable._chain_reaches(path, cur, version)
+
+    @staticmethod
+    def _flip_current(path: str, version: int) -> bool:
+        """Advance the CURRENT pointer — a chain-aware fast-forward CAS.
+
+        Two invariants, both enforced inside one flock'd critical
+        section (the analogue of an Iceberg catalog's atomic swap; the
+        lock guards only this microsecond pointer update — data writes
+        and manifest builds stay lock-free):
+
+        - MONOTONIC: never move the pointer to a lower version. Writer A
+          links manifest v2, stalls; writer B's crash-repair rolls
+          CURRENT to 2, rebases, commits v3; A resumes — a plain
+          os.replace would clobber CURRENT back to 2, hiding B's
+          acknowledged commit.
+        - FAST-FORWARD ON THE CHAIN: never move the pointer to a version
+          whose parent chain does not reach the version currently
+          pointed at. Without this, a writer that rebased on a stale
+          head (its repair loop raced a concurrent commit) could flip to
+          a HIGHER version that nonetheless forks before — burying —
+          an already-acknowledged commit.
+
+        Returns True iff, on exit, ``version`` is on the CURRENT chain
+        (we flipped, or someone rolled CURRENT forward over us). False
+        means the caller's manifest is orphaned: the commit must be
+        re-minted on the new head.
+        """
+        import fcntl
+
         cur_path = os.path.join(path, "metadata", CURRENT)
-        for _ in range(64):
+        lock_path = os.path.join(path, "metadata", ".current.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
             try:
-                with open(cur_path) as fh:
-                    if int(fh.read().strip()) >= version:
-                        return
-            except (FileNotFoundError, ValueError):
-                pass
-            tmp = os.path.join(path, "metadata", f".CURRENT.{uuid.uuid4().hex}")
-            with open(tmp, "w") as fh:
-                fh.write(str(version))
-            os.replace(tmp, cur_path)  # atomic
-            with open(cur_path) as fh:
-                if int(fh.read().strip()) >= version:
-                    return
+                try:
+                    with open(cur_path) as fh:
+                        cur = int(fh.read().strip())
+                except (FileNotFoundError, ValueError):
+                    cur = 0
+                if cur >= version:
+                    return LakeTable._chain_reaches(path, cur, version)
+                if not LakeTable._chain_reaches(path, version, cur):
+                    return False
+                tmp = os.path.join(
+                    path, "metadata", f".CURRENT.{uuid.uuid4().hex}"
+                )
+                with open(tmp, "w") as fh:
+                    fh.write(str(version))
+                os.replace(tmp, cur_path)  # atomic for lockless readers
+                return True
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
 
     def history(self) -> list[dict]:
         out = []

@@ -77,9 +77,37 @@ def spread(df: DataFrame) -> DataFrame:
     if not sc.master.startswith("local"):
         return df
     target = sc.defaultParallelism
-    if len(df.inputFiles()) < target:
-        return df.repartition(target)
-    return df
+    files = df.inputFiles()
+    if not files:
+        # non-file-backed plan: file count says nothing about split
+        # count, so treat parallelism as unknown and DON'T force a
+        # shuffle (a local relation is tiny anyway)
+        return df
+    # parquet is splittable: a single LARGE file still scans as many
+    # partitions, so estimate splits the way FilePartition planning
+    # does (size / maxPartitionBytes) instead of counting files
+    import os as _os
+    import re as _re
+
+    raw = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b"
+    )
+    m = _re.fullmatch(r"(\d+)\s*([kmg]?)b?", raw.strip().lower())
+    max_bytes = (
+        int(m.group(1)) * {"": 1, "k": 2**10, "m": 2**20, "g": 2**30}[m.group(2)]
+        if m
+        else 134217728
+    )
+    splits = 0
+    for uri in files:
+        p = uri.removeprefix("file:")
+        try:
+            splits += max(1, -(-_os.path.getsize(p) // max_bytes))
+        except OSError:
+            splits += 1
+        if splits >= target:
+            return df
+    return df.repartition(target)
 
 
 def queries() -> dict[str, QueryFn]:
@@ -732,6 +760,93 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _derived_stats_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build the IVM fixture through the REAL incremental path: replay
+    the feed's first half (lsn <= max/2) into a fresh source table,
+    full-refresh the derived per-conversation aggregate, replay the
+    second half, then INCREMENTALLY fold its CDF slice (pre-image
+    deltas, touched buckets only — cdc/derived.py). The cached derived
+    state is therefore full-refresh ∘ incremental-refresh, and the
+    oracle's from-scratch recompute over the raw feed gates the IVM
+    equivalence claim. Cached per sf_dir + builder/refresh source text
+    (any code edit rebuilds). Returns the derived table path."""
+    import json as _json
+    import os
+    import shutil
+
+    from pasar_spark.cdc.derived import DerivedConvStats
+    from pasar_spark.cdc.runner import ReplayRunner
+    from pasar_spark.lake.table import LakeTable
+
+    feed = _as_change_feed(load(spark, sf_dir, "events")).withColumns(
+        {"role": F.col("op"), "tool": F.lit(None).cast("string")}
+    )
+    cache = _cache_root(
+        "derived_stats", sf_dir, _derived_stats_table,
+        DerivedConvStats.refresh, 16, 1 << 40,
+    )
+    marker = os.path.join(cache, "MARKER.json")
+    src_path = os.path.join(cache, "src")
+    der_path = os.path.join(cache, "der")
+    if not (os.path.exists(marker) and LakeTable.exists(der_path)):
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        cut = feed.agg(F.max("lsn").alias("m")).collect()[0]["m"] // 2
+        one_chunk = 1 << 40
+        ReplayRunner(spark, src_path, n_buckets=16, chunk_size=one_chunk).replay(
+            feed, max_events=cut + 1
+        )
+        stats = DerivedConvStats(spark, src_path, der_path, n_buckets=16)
+        _, info1 = stats.refresh()
+        ReplayRunner(spark, src_path, n_buckets=16, chunk_size=one_chunk).replay(feed)
+        _, info2 = stats.refresh()
+        if info1.get("mode") != "full" or info2.get("mode") != "incremental":
+            shutil.rmtree(cache, ignore_errors=True)
+            raise RuntimeError(
+                f"IVM fixture took an unexpected path: {info1} / {info2}"
+            )
+        with open(marker, "w") as fh:
+            _json.dump({"modes": [info1["mode"], info2["mode"]]}, fh)
+    return der_path
+
+
+@register(
+    "cdc_derived_stats",
+    f"""
+    WITH feed AS ({_FEED_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM feed),
+    live AS (SELECT conv_id,
+                    nfc_normalize(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text
+             FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+           CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars
+    FROM live GROUP BY conv_id
+    """,
+)
+def cdc_derived_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance from the change-data-feed
+    (cdc/derived.py; the scalable analogue of the reference's
+    per-run stats recompute, etl/pypasar/db/utils/
+    final_statistics.py:26-52 / SURVEY.md A9). The derived
+    per-conversation aggregate — maintained as full-refresh at the
+    half-way snapshot then ONE incremental CDF fold (pre-image payload
+    deltas, touched aggregate buckets only) — must equal the oracle's
+    from-scratch GROUP BY over the raw feed's final live state. That
+    equality IS the IVM correctness claim: O(changes) maintenance
+    converges to the O(table) recompute."""
+    from pasar_spark.lake.table import LakeTable
+
+    der_path = _derived_stats_table(spark, sf_dir)
+    return (
+        LakeTable.load(spark, der_path)
+        .read()
+        .select("conv_id", "n_turns", "total_chars")
+    )
+
+
 # =====================================================================
 # Relational operator coverage (TPC-H-ish tables)
 # =====================================================================
@@ -1038,9 +1153,16 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     n = load(spark, sf_dir, "nation")
-    # stable per-user path + overwrite: repeated runs reuse the same dir
-    # instead of leaking one mkdtemp per invocation
-    path = os.path.join(tempfile.gettempdir(), "pasar_csv_roundtrip", "nation_tsv")
+    # stable path keyed by sf_dir AND Spark application id: repeated
+    # runs in ONE session reuse the dir (no mkdtemp leak per call), and
+    # two concurrent sessions on one box can never clobber each other's
+    # in-flight write (ADVICE r3)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "pasar_csv_roundtrip",
+        sf_dir.strip("/").replace("/", "_") + "-" + spark.sparkContext.applicationId,
+        "nation_tsv",
+    )
     n.write.mode("overwrite").option("sep", "\t").option("header", True).option(
         "quote", '"'
     ).csv(path)

@@ -380,7 +380,10 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(q, emb, k=3)
 
 
-@register(
+@register_retired(  # r4: driver seat given to cdc_derived_stats (50-cap);
+    # stays oracle-checked every run in tests/test_retired_oracles.py.
+    # Coverage subsumed by knn_cosine_topk (same dot/cosine fold) +
+    # dedup_embedding_cosine (same label-restricted all-pairs shape).
     "emb_label_cohesion",
     f"""
     SELECT a.label, count(*) AS n_pairs,

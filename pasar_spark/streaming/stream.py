@@ -23,11 +23,41 @@ module is the north-rule 'binlog/WAL tail' capability.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from pasar_spark.cdc.merge import compact_buckets, merge_batch
 from pasar_spark.cdc.runner import bootstrap_table
 from pasar_spark.cdc.schema_evolution import EvolutionPlan, max_schema_ver, promote_extra
 from pasar_spark.lake.table import LakeTable
+
+
+def envelope_schema() -> StructType:
+    """The change-event WAL envelope (datagen.EVENT_COLUMNS / FIXTURES.md
+    F2) as an explicit StructType — what a production feed registry would
+    pin for the stream source. Payload columns beyond the envelope travel
+    in the JSON ``extra`` field and are promoted by schema evolution, so
+    this schema is STABLE across feed schema versions by construction."""
+    return StructType(
+        [
+            StructField("lsn", LongType()),
+            StructField("op", StringType()),
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("schema_ver", IntegerType()),
+            StructField("extra", StringType()),
+        ]
+    )
 
 
 class StreamingIngest:
@@ -44,6 +74,7 @@ class StreamingIngest:
         merge_mode: str = "mor",
         compact_min_files: int = 8,
         audit_checks=None,
+        schema: StructType | None = None,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -62,6 +93,11 @@ class StreamingIngest:
         # stream stops, and on restart the same epoch re-stages (the
         # batch id only entered the ledger if it published)
         self.audit_checks = audit_checks
+        # pinned WAL envelope schema (the production path: a stream must
+        # be startable BEFORE the first file ships, and must not re-infer
+        # its envelope from whatever happens to be in the directory).
+        # None keeps the old infer-from-contents behavior for ad-hoc use.
+        self.schema = schema
 
     def bootstrap(self) -> LakeTable:
         return bootstrap_table(self.spark, self.table_path, self.n_buckets)
@@ -92,11 +128,17 @@ class StreamingIngest:
             compact_buckets(table, min_files=self.compact_min_files)
 
     def _start(self, **trigger):
+        import os
+
         self.bootstrap()
-        # The file source needs an explicit schema: take it from the
-        # current WAL contents (a production deployment would pin the
-        # envelope schema from the feed registry instead).
-        schema = self.spark.read.parquet(self.wal_path).schema
+        # The file source needs an explicit schema. Pinned (production:
+        # startable against an EMPTY WAL dir, stable across whatever the
+        # shipper writes) or, as an ad-hoc fallback, inferred from the
+        # current WAL contents.
+        schema = self.schema
+        if schema is None:
+            schema = self.spark.read.parquet(self.wal_path).schema
+        os.makedirs(self.wal_path, exist_ok=True)  # tail-before-first-ship
         reader = self.spark.readStream.schema(schema)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)

@@ -184,3 +184,30 @@ def test_changes_pre_images_emit_before_values(spark, pipeline):
         assert row["_prev_lsn"] is not None
         # an update's pre-image text is the OLD winner, distinct version
         assert row["lsn"] != row["_prev_lsn"]
+
+
+def test_refresh_falls_back_to_full_when_cdf_expired(spark, pipeline):
+    """ADVICE r3 (low): if the source's expire_snapshots dropped the
+    manifest at the derived table's checkpoint (consumer lagged past
+    retention), refresh() must pay one full re-aggregate instead of
+    crashing forever on the missing manifest."""
+    import os
+
+    wal, runner, stats = pipeline
+    src = runner.replay(wal, stop_after_chunks=1)
+    der, info = stats.refresh()
+    assert info["mode"] == "full"
+    frm = der.source_offset("__source_version__")
+
+    # source advances several versions, then retention drops v{frm}
+    src = runner.replay(wal)
+    src.expire_snapshots(keep_last=1)
+    assert not os.path.exists(LakeTable._manifest_path(src.path, frm))
+
+    der, info = stats.refresh()
+    assert info["mode"] == "full"
+    assert _state(stats) == _oracle(src)
+    assert der.source_offset("__source_version__") == src.version
+    # and the NEXT refresh is a plain noop / incremental again
+    der, info = stats.refresh()
+    assert info["mode"] == "noop"

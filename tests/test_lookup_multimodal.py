@@ -120,3 +120,51 @@ def test_frame_sampling_cardinality(spark):
     want = sum(math.ceil(max(d, 1) / 1000) for d in durs.values())
     assert len(rows) == want
     assert {r.media_id for r in rows} == set(durs)
+
+
+def _have_av() -> bool:
+    from pasar_spark.functions.multimodal import _av
+
+    return _av() is not None
+
+
+@pytest.mark.skipif(_have_av(), reason="strict only raises where no ffmpeg binding exists")
+def test_frame_sampling_strict_raises_without_av(spark):
+    media = synth_media(spark, 4).where("kind = 'video'")
+    with pytest.raises(Exception) as ei:
+        sample_frames(media, every_ms=500, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "ffmpeg" in str(ei.value)
+
+
+@pytest.mark.skipif(not _have_av(), reason="real frame decode needs PyAV")
+def test_frame_sampling_real_decode_with_av(spark):
+    """Where PyAV exists the SAME mapInPandas seeks and decodes real
+    frames: refs carry real dimensions + pixel-content hashes and strict
+    mode passes instead of raising. (Skipped in this container — no
+    ffmpeg binding is installed; the skipif pair keeps both worlds
+    covered without faking.)"""
+    import io
+
+    import av as _avmod
+    import numpy as np
+
+    buf = io.BytesIO()
+    with _avmod.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 32, 16
+        stream.pix_fmt = "yuv420p"
+        for i in range(8):  # 2 s of 4 fps video
+            arr = np.full((16, 32, 3), i * 16, dtype=np.uint8)
+            frame = _avmod.VideoFrame.from_ndarray(arr, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    media = spark.createDataFrame(
+        [("vid-1", "video", "video/mp4", bytearray(buf.getvalue()), 32, 16, 2000)],
+        schema=synth_media(spark, 1).schema,
+    )
+    rows = sample_frames(media, every_ms=1000, strict=True).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.frame_ref.startswith(f"frame@{r.frame_ms}:32x16:")

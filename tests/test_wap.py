@@ -219,3 +219,55 @@ def test_expire_keeps_live_staged_chain(spark, base_table):
     import os
 
     assert not os.path.exists(LakeTable._manifest_path(t.path, staged.version))
+
+
+def test_crashing_check_discards_stage(spark, base_table):
+    """ADVICE r3 (low): a check that raises anything OTHER than
+    QualityError (a bug in the check itself) must still discard the
+    stage — a leaked STAGED pointer pins its parent chain against
+    expire_snapshots forever."""
+    t = base_table
+
+    def buggy_check(df):
+        raise ZeroDivisionError("check itself crashed")
+
+    with pytest.raises(ZeroDivisionError):
+        write_audit_publish(
+            t, _chunk(spark, GOOD), "wap-crash", checks=[buggy_check]
+        )
+    final = LakeTable.load(spark, t.path)
+    assert final.staged_refs() == {}
+    assert final.version == t.version  # main history untouched
+    # and the chunk is re-stageable afterwards (no poisoned ledger)
+    t2, _, outcome = write_audit_publish(
+        t, _chunk(spark, GOOD), "wap-crash", checks=[]
+    )
+    assert outcome == "published"
+    assert t2.read().where("conv_id = 'conv-wap'").count() == 1
+
+
+def test_expire_reclaims_abandoned_stage_past_ttl(spark, base_table):
+    """ADVICE r3 (low): an audit that died between stage and
+    publish/discard (process crash) leaves a STAGED pointer nobody will
+    ever resolve. expire_snapshots(staged_ttl_sec=...) drops pointers
+    older than the TTL so the orphaned chain can be reclaimed; young
+    stages (live audits) are untouched."""
+    import os
+    import time
+
+    t = base_table
+    staged, _ = merge_batch(t, _chunk(spark, GOOD), "wap-dead", stage="dead")
+    ptr = LakeTable._staged_pointer(t.path, "dead")
+    # age the pointer artificially (the process that staged it is gone)
+    old = time.time() - 3600
+    os.utime(ptr, (old, old))
+
+    cur = LakeTable.load(spark, t.path)
+    # young TTL window: the stage survives (a live audit would too)
+    cur.expire_snapshots(keep_last=1, staged_ttl_sec=7200)
+    assert "dead" in LakeTable.load(spark, t.path).staged_refs()
+
+    # past the TTL: pointer dropped, manifest reclaimed
+    cur.expire_snapshots(keep_last=1, staged_ttl_sec=60)
+    assert "dead" not in LakeTable.load(spark, t.path).staged_refs()
+    assert not os.path.exists(LakeTable._manifest_path(t.path, staged.version))
