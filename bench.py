@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "cdc_mode_event_type",
     "cdc_changes_feed",
     "cdc_time_travel",
+    "cdc_derived_stats",
     "cdc_partitioned_feed",
     "cdc_partial_updates",
     "cdc_patch_deletes",
