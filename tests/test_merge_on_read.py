@@ -84,3 +84,50 @@ def test_vacuum_drops_only_dead_tombstones(spark, wal):
     assert delta["vacuumed_buckets"] > 0
     assert _state(t2) == live
     assert t2.read(include_tombstones=True).where("_tombstone").count() == 0
+
+
+def test_vacuum_density_floor_skips_sparse_buckets(spark, tmp_path):
+    """min_tombstones: a bucket below the density floor is left alone
+    (its tombstones are correctness-neutral), one at/above it is
+    rewritten — vacuum cost tracks reclaimable garbage, not bucket
+    count."""
+    from pasar_spark.cdc.runner import ReplayRunner
+    from pasar_spark.datagen import change_events, write_change_log
+
+    wal = str(tmp_path / "wal")
+    write_change_log(
+        change_events(spark, 4_000, n_convs=40, seed=21, delete_fraction=0.2),
+        wal,
+        n_files=2,
+    )
+    t = ReplayRunner(spark, str(tmp_path / "t"), n_buckets=4, chunk_size=10_000).replay(wal)
+    per_bucket = {
+        r["_bucket"]: r["count"]
+        for r in t.read(include_tombstones=True)
+        .where("_tombstone")
+        .withColumn("_bucket", t.bucket_expr())
+        .groupBy("_bucket")
+        .count()
+        .collect()
+    }
+    assert len(per_bucket) >= 2
+    counts = sorted(per_bucket.values())
+    floor = counts[-1]  # only the densest bucket(s) qualify
+    assert counts[0] < floor
+    before = t.read().count()
+    t2, stats = vacuum_tombstones(t, horizon_lsn=10_000, min_tombstones=floor)
+    dense = [b for b, c in per_bucket.items() if c >= floor]
+    assert stats["vacuumed_buckets"] == len(dense)
+    # live state untouched; sparse buckets keep their tombstones
+    assert t2.read().count() == before
+    left = {
+        r["_bucket"]: r["count"]
+        for r in t2.read(include_tombstones=True)
+        .where("_tombstone")
+        .withColumn("_bucket", t2.bucket_expr())
+        .groupBy("_bucket")
+        .count()
+        .collect()
+    }
+    assert all(b not in left for b in dense)
+    assert all(left[b] == c for b, c in per_bucket.items() if c < floor)
