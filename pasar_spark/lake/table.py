@@ -616,7 +616,10 @@ class LakeTable:
         O(table)). Both sides arrive bucket-partitioned on the same key
         space and LWW-resolve to one row per key before a full-outer join
         on the key. Logical no-ops (compaction rewrites) read the bucket
-        but emit nothing.
+        but emit nothing. If the range crosses a REBUCKET (partition
+        evolution), bucket pruning is impossible across two key->bucket
+        maps and the diff degrades to a full two-sided read — correct,
+        O(table), documented at the fallback site.
 
         Schema evolution is handled by reading BOTH sides at the TO
         snapshot's logical schema (field-id mapping makes old files
@@ -628,18 +631,30 @@ class LakeTable:
         frm_manifest = LakeTable.load(
             self.spark, self.path, version=from_version
         ).manifest
-        if frm_manifest["n_buckets"] != to.manifest["n_buckets"]:
-            raise ValueError("changes() across a bucket-count change")
 
         def _sig(entries: list[dict]) -> tuple:
             return tuple(e["path"] for e in entries)
 
         a_buckets, b_buckets = frm_manifest["buckets"], to.manifest["buckets"]
-        changed = sorted(
-            b
-            for b in set(a_buckets) | set(b_buckets)
-            if _sig(a_buckets.get(b, [])) != _sig(b_buckets.get(b, []))
-        )
+        if frm_manifest["n_buckets"] != to.manifest["n_buckets"]:
+            # partition evolution (rebucket) inside the version range:
+            # file-level bucket pruning is meaningless across two
+            # different key->bucket maps, so degrade to a FULL two-sided
+            # diff — O(table) instead of O(changed data), but correct
+            # (the key-space join below never depended on bucket ids).
+            # A consumer that must stay O(changes) checkpoints before
+            # the rebucket and full-refreshes across it.
+            changed = None
+            a_entries = [e for es in a_buckets.values() for e in es]
+            b_entries = [e for es in b_buckets.values() for e in es]
+        else:
+            changed = sorted(
+                b
+                for b in set(a_buckets) | set(b_buckets)
+                if _sig(a_buckets.get(b, [])) != _sig(b_buckets.get(b, []))
+            )
+            a_entries = [e for b in changed for e in a_buckets.get(b, [])]
+            b_entries = [e for b in changed for e in b_buckets.get(b, [])]
 
         cur = to.schema
         key = to.manifest["key"]
@@ -672,8 +687,8 @@ class LakeTable:
                 df, key=key, order=order, payload=payload + ["_tombstone"]
             )
 
-        a = _state([e for b in changed for e in a_buckets.get(b, [])])
-        b = _state([e for b in changed for e in b_buckets.get(b, [])])
+        a = _state(a_entries)
+        b = _state(b_entries)
 
         live = lambda side: F.col(f"{side}_live")  # noqa: E731
         # pre-image payload source: materialized winner values on patch

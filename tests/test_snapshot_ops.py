@@ -261,13 +261,36 @@ def test_rebucket_preserves_state_and_replay_continues(spark, tmp_path):
     assert t2.read().count() == ref.read().count()
 
 
-def test_changes_across_rebucket_raises(spark, tmp_path):
+def test_changes_across_rebucket_falls_back_to_full_diff(spark, tmp_path):
+    """Partition evolution inside the CDF range: bucket pruning is
+    impossible across two key->bucket maps, so changes() degrades to a
+    full two-sided diff (used to raise, stranding any consumer whose
+    checkpoint pre-dated the rebucket). Must equal the brute-force
+    diff of the two snapshot reads."""
     wal = str(tmp_path / "wal")
-    write_change_log(change_events(spark, 2_000, n_convs=30, seed=52), wal, n_files=2)
-    t = ReplayRunner(spark, str(tmp_path / "t"), n_buckets=4, chunk_size=10_000).replay(wal)
-    rb = t.rebucket(8)
-    with pytest.raises(ValueError, match="bucket-count"):
-        rb.changes(t.version)
+    write_change_log(
+        change_events(spark, 4_000, n_convs=60, seed=52, delete_fraction=0.12),
+        wal,
+        n_files=2,
+    )
+    t1 = ReplayRunner(
+        spark, str(tmp_path / "t"), n_buckets=4, chunk_size=2_000
+    ).replay(wal, stop_after_chunks=1)
+    rb = t1.rebucket(8)
+    t2 = ReplayRunner(
+        spark, str(tmp_path / "t"), n_buckets=8, chunk_size=2_000
+    ).replay(wal)
+    assert t2.manifest["n_buckets"] == 8 and t2.version > rb.version
+
+    got = {
+        (r["conv_id"], r["turn_idx"], r["_change_type"])
+        for r in t2.changes(t1.version).collect()
+    }
+    want = _brute_diff(spark, str(tmp_path / "t"), t1.version, t2)
+    assert got == want and len(got) > 0
+    # pure-rebucket range (no data change) emits nothing: a rewrite is
+    # a logical no-op even when every file moved buckets
+    assert rb.changes(t1.version).count() == 0
 
 
 def test_lineage_maps_buckets_to_batches(spark, tmp_path):
