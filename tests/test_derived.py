@@ -211,3 +211,21 @@ def test_refresh_falls_back_to_full_when_cdf_expired(spark, pipeline):
     # and the NEXT refresh is a plain noop / incremental again
     der, info = stats.refresh()
     assert info["mode"] == "noop"
+
+
+def test_refresh_survives_source_rebucket(spark, pipeline):
+    """Partition evolution on the SOURCE between refreshes: the CDF
+    range crosses the rebucket (full-diff fallback), and the derived
+    aggregate still converges to the from-scratch oracle."""
+    wal, runner, stats = pipeline
+    src = runner.replay(wal, stop_after_chunks=1)
+    der, info = stats.refresh()
+    assert info["mode"] == "full"
+
+    src.rebucket(8)  # source grows its bucket count mid-stream
+    from pasar_spark.cdc.runner import ReplayRunner as RR
+
+    src = RR(spark, src.path, n_buckets=8, chunk_size=2_000).replay(wal)
+    der, info = stats.refresh()
+    assert info["mode"] == "incremental"  # consumer never noticed
+    assert _state(stats) == _oracle(src)
