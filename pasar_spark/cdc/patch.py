@@ -286,11 +286,17 @@ class PatchStreamingIngest:
         wal_path: str,
         checkpoint_path: str,
         max_files_per_trigger: int | None = None,
+        schema=None,
     ):
         self.runner = runner
         self.wal_path = wal_path
         self.checkpoint_path = checkpoint_path
         self.max_files_per_trigger = max_files_per_trigger
+        # pinned WAL envelope schema (patch feeds carry feed-specific
+        # payload columns, so the pin comes from the caller's feed
+        # registry); None infers from current WAL contents, which
+        # requires at least one file to exist before start
+        self.schema = schema
 
     def _apply_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
         table = LakeTable.load(self.runner.spark, self.runner.table_path)
@@ -298,8 +304,13 @@ class PatchStreamingIngest:
         self.runner._compact(table)
 
     def run_available_now(self) -> LakeTable:
+        import os
+
         self.runner.bootstrap()
-        schema = self.runner.spark.read.parquet(self.wal_path).schema
+        schema = self.schema
+        if schema is None:
+            schema = self.runner.spark.read.parquet(self.wal_path).schema
+        os.makedirs(self.wal_path, exist_ok=True)
         reader = self.runner.spark.readStream.schema(schema)
         if self.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
