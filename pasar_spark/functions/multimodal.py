@@ -9,8 +9,10 @@ derived from the bytes runs instead, and strict=True raises
 NotImplementedError — so pipelines exercise the exact mapInPandas shape
 they would run with real codecs, and deployments with codecs get real
 decodes with zero pipeline changes. The frame-sampling path has the same
-hatch for ffmpeg-class codecs (`_av()`: PyAV if importable); audio-only
-decode remains stubbed either way.
+hatch for ffmpeg-class codecs (`_av()`: PyAV if importable). WAV audio
+decodes FOR REAL everywhere via the Python stdlib (`_audio_feature`);
+non-WAV audio (mp3/flac/opus) needs an ffmpeg-class codec and stays
+stubbed where none exists.
 
 Design notes for 100 TB:
 - decode runs in ``mapInPandas`` so one Arrow batch amortizes the Python
@@ -84,6 +86,34 @@ def _pil():
         return None
 
 
+def _audio_feature(payload: bytes, strict: bool) -> str | None:
+    """REAL audio decode for the WAV container via the Python stdlib —
+    no third-party codec needed, so unlike the PIL/PyAV hatches this
+    path runs everywhere (including this sandbox). Parses the RIFF/WAVE
+    header and frame count: channels, sample rate, sample width,
+    duration — the metadata a training-data audio pipeline filters on.
+    Non-WAV payloads (mp3/flac/opus need ffmpeg-class codecs) fall back
+    to the stub, or raise under strict."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            rate = w.getframerate() or 1
+            dur = w.getnframes() / rate
+            return (
+                f"audio:WAV:{w.getnchannels()}ch:{rate}Hz:"
+                f"{8 * w.getsampwidth()}bit:{dur:.3f}s"
+            )
+    except Exception:
+        if strict:
+            raise NotImplementedError(
+                "non-WAV audio decode requires an ffmpeg-class codec; "
+                "not available in this environment"
+            )
+        return _decode_stub(payload, "audio")
+
+
 def _image_feature(Image, payload: bytes, strict: bool) -> str | None:
     """Real image decode via PIL: format/size/mode — the feature a real
     deployment extracts. Undecodable bytes fall back to the stub (or
@@ -109,17 +139,20 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Image = _pil()
         for pdf in batches:
-            if strict and Image is None:
-                raise NotImplementedError(
-                    "media decode requires codec libraries (PIL/ffmpeg); "
-                    "not available in this environment"
-                )
 
             def feat(b, k):
                 if b is None:
                     return None
-                if Image is not None and k == "image":
+                if k == "audio":
+                    # stdlib WAV decode — real everywhere (see above)
+                    return _audio_feature(b, strict)
+                if k == "image" and Image is not None:
                     return _image_feature(Image, b, strict)
+                if strict:
+                    raise NotImplementedError(
+                        f"{k} decode requires codec libraries (PIL/ffmpeg); "
+                        "not available in this environment"
+                    )
                 return _decode_stub(b, k)
 
             yield pd.DataFrame(
