@@ -114,6 +114,54 @@ def _audio_feature(payload: bytes, strict: bool) -> str | None:
         return _decode_stub(payload, "audio")
 
 
+def _mp4_meta(payload: bytes) -> tuple[str, float | None] | None:
+    """Minimal ISO-BMFF (MP4/MOV) metadata parse — pure box walking, no
+    codec: major brand from ``ftyp``, duration from ``moov/mvhd``
+    (duration/timescale, v0 and v1 layouts). Returns (brand, seconds)
+    with seconds None if no mvhd found, or None when the payload is not
+    ISO-BMFF at all. Container METADATA is what a training pipeline
+    filters on (length, liveness); actual frame decode stays behind the
+    PyAV hatch."""
+    import struct
+
+    def boxes(start: int, end: int):
+        off = start
+        while off + 8 <= end:
+            size, typ = struct.unpack_from(">I4s", payload, off)
+            hdr = 8
+            if size == 1:
+                if off + 16 > end:
+                    return
+                size = struct.unpack_from(">Q", payload, off + 8)[0]
+                hdr = 16
+            elif size == 0:
+                size = end - off
+            if size < hdr or off + size > end:
+                return
+            yield typ, off + hdr, off + size
+            off += size
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    brand = payload[8:12].decode("latin1", "replace").strip()
+    for typ, s, e in boxes(0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in boxes(s, e):
+            if t2 != b"mvhd" or s2 >= e2:
+                continue
+            ver = payload[s2]
+            try:
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, s2 + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, s2 + 12)
+            except struct.error:
+                return brand, None
+            return brand, (dur / ts) if ts else None
+    return brand, None
+
+
 def _image_feature(Image, payload: bytes, strict: bool) -> str | None:
     """Real image decode via PIL: format/size/mode — the feature a real
     deployment extracts. Undecodable bytes fall back to the stub (or
@@ -148,6 +196,16 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
                     return _audio_feature(b, strict)
                 if k == "image" and Image is not None:
                     return _image_feature(Image, b, strict)
+                if k == "video":
+                    # pure box-walking MP4 metadata — real everywhere
+                    meta = _mp4_meta(b)
+                    if meta is not None:
+                        brand, dur = meta
+                        return (
+                            f"video:{brand}:{dur:.3f}s"
+                            if dur is not None
+                            else f"video:{brand}"
+                        )
                 if strict:
                     raise NotImplementedError(
                         f"{k} decode requires codec libraries (PIL/ffmpeg); "

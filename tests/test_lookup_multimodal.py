@@ -201,3 +201,39 @@ def test_audio_wav_decodes_for_real_via_stdlib(spark):
     with pytest.raises(Exception) as ei:
         extract_features(media.where("media_id = 'mp3-1'"), strict=True).collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_video_mp4_metadata_parses_for_real(spark):
+    """ISO-BMFF container metadata (brand + mvhd duration) is pure box
+    walking — real everywhere, no codec. A valid minimal MP4 box
+    sequence yields brand and duration; non-BMFF bytes keep the stub."""
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    # mvhd v0: version/flags, creation, modification, timescale=1000,
+    # duration=2500, then rate/volume/reserved/matrix/predefined/next_id
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">BxxxIIII", 0, 0, 0, 1000, 2500)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10 + b"\x00" * 36 + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    mp4 = ftyp + box(b"moov", mvhd)
+    media = spark.createDataFrame(
+        [
+            ("mp4-1", "video", "video/mp4", bytearray(mp4), 0, 0, 2500),
+            ("raw-1", "video", "video/x-raw", bytearray(b"notabmff"), 0, 0, 100),
+        ],
+        schema=synth_media(spark, 1).schema,
+    )
+    rows = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert rows["mp4-1"] == "video:isom:2.500s"
+    assert rows["raw-1"].startswith("video:")  # stub fallback
+    # strict: real-metadata row passes, undecodable one raises
+    ok = extract_features(media.where("media_id = 'mp4-1'"), strict=True).collect()
+    assert ok[0].feature == "video:isom:2.500s"
+    with pytest.raises(Exception):
+        extract_features(media.where("media_id = 'raw-1'"), strict=True).collect()
