@@ -214,3 +214,52 @@ def test_pinned_schema_starts_on_empty_wal_dir(spark, tmp_path):
         spark, str(tmp_path / "tbl_batch"), n_buckets=4, chunk_size=2_000
     ).replay(wal)
     assert _state(t) == _state(batch)
+
+
+def test_stream_applies_schema_evolution_mid_tail(spark, tmp_path):
+    """Schema evolution arriving mid-STREAM: epochs before the evolution
+    point replay against the old table schema; when events with
+    schema_ver=1 arrive in a later epoch, the streaming path applies the
+    plan (add 'sentiment'), promotes the JSON extra, and the final state
+    matches the LWW+json oracle — identical semantics to the batch path."""
+    from pasar_spark.cdc.schema_evolution import EvolutionPlan
+    from pasar_spark.lake.table import LakeTable
+    from pasar_spark.streaming.stream import envelope_schema
+
+    wal = str(tmp_path / "wal")
+    evo_lsn = 3_000
+    ev_all = change_events(spark, 6_000, n_convs=80, seed=7, evolution_lsn=evo_lsn)
+    write_change_log(ev_all.where(f"lsn < {evo_lsn}"), wal, n_files=2)
+
+    ingest = StreamingIngest(
+        spark, str(tmp_path / "tbl"), wal,
+        checkpoint_path=str(tmp_path / "ckpt"), n_buckets=4,
+        evolution_plan=EvolutionPlan(steps={1: [("add", "sentiment", "int")]}),
+        schema=envelope_schema(),
+    )
+    t1 = ingest.run_available_now()
+    assert "sentiment" not in t1.schema.names()  # nothing evolved yet
+
+    ev_all.where(f"lsn >= {evo_lsn}").repartition(2).write.mode("append").parquet(wal)
+    t2 = ingest.run_available_now()
+    assert "sentiment" in t2.schema.names()
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW e AS SELECT * FROM '{wal}/*.parquet'")
+    want = {
+        (c, t): s
+        for c, t, s in con.execute(
+            """
+        SELECT conv_id, turn_idx,
+               CAST(json_extract_string(extra, '$.sentiment') AS INT)
+        FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                       ORDER BY ts DESC, lsn DESC) rn FROM e)
+        WHERE rn = 1 AND op <> 'D'
+        """
+        ).fetchall()
+    }
+    t = LakeTable.load(spark, str(tmp_path / "tbl"))
+    got = {(r.conv_id, r.turn_idx): r.sentiment for r in t.read().collect()}
+    assert got == want
