@@ -186,7 +186,11 @@ def cmd_vacuum(args) -> int:
     from pasar_spark.cdc.merge import vacuum_tombstones
 
     spark = _spark(args)
-    t, delta = vacuum_tombstones(_load_table(spark, args.table), args.horizon_lsn)
+    t, delta = vacuum_tombstones(
+        _load_table(spark, args.table),
+        args.horizon_lsn,
+        min_tombstones=args.min_tombstones,
+    )
     print(json.dumps({"table": args.table, **delta, "version": t.version}))
     return 0
 
@@ -359,6 +363,11 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("vacuum", help="drop tombstones older than the horizon")
     v.add_argument("--table", required=True)
     v.add_argument("--horizon-lsn", type=int, required=True)
+    v.add_argument(
+        "--min-tombstones", type=int, default=1,
+        help="only rewrite buckets holding at least this many reclaimable"
+             " tombstones (cost tracks garbage, not bucket count)",
+    )
     v.set_defaults(fn=cmd_vacuum)
 
     st = sub.add_parser("stats", help="table metrics / lineage readout")
