@@ -44,6 +44,67 @@ from pasar_spark.lake.schema import TableSchema
 CURRENT = "CURRENT"
 
 
+def _footer_key_stats(md, cols: set) -> dict:
+    """Aggregate parquet row-group min/max into per-FILE stats for the
+    given physical column names, JSON-safe values only.
+
+    Parquet writers may truncate string min/max to a shorter bound; a
+    truncated min is still a valid lower bound and a truncated max a
+    valid upper bound, so pruning on them stays safe. A column missing
+    stats in ANY row group is dropped for the whole file (absence means
+    "may contain anything")."""
+    if not cols:
+        return {}
+    out: dict[str, list] = {}
+    dead: set = set()
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if name not in cols or name in dead:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dead.add(name)
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                except (UnicodeDecodeError, AttributeError):
+                    dead.add(name)
+                    continue
+            if not isinstance(lo, (int, float, str, bool)) or not isinstance(
+                hi, (int, float, str, bool)
+            ):
+                # dates/timestamps etc.: not JSON-round-trip-safe as-is
+                dead.add(name)
+                continue
+            if name in out:
+                out[name][0] = min(out[name][0], lo)
+                out[name][1] = max(out[name][1], hi)
+            else:
+                out[name] = [lo, hi]
+    for name in dead:
+        out.pop(name, None)
+    return out
+
+
+def _entry_may_contain(entry: dict, phys_col: str, value) -> bool:
+    """File-skipping predicate: False only when the manifest's per-file
+    min/max PROVE the value is absent. Entries without stats (pre-stats
+    manifests, non-key columns, truncation-unsafe types) always pass."""
+    stats = entry.get("stats", {}).get(phys_col)
+    if not stats:
+        return True
+    lo, hi = stats
+    try:
+        return lo <= value <= hi
+    except TypeError:
+        return True
+
+
 class CommitConflict(Exception):
     pass
 
@@ -184,7 +245,10 @@ class LakeTable:
         return F.pmod(F.xxhash64(c), F.lit(self.manifest["n_buckets"])).cast("int")
 
     def read(
-        self, buckets: list[int] | None = None, include_tombstones: bool = False
+        self,
+        buckets: list[int] | None = None,
+        include_tombstones: bool = False,
+        key_equals: dict | None = None,
     ) -> DataFrame:
         """Read current snapshot (optionally bucket-pruned) at the CURRENT
         logical schema. Files are grouped by the schema they were written
@@ -199,7 +263,12 @@ class LakeTable:
         Merge-on-read: buckets listed in manifest['unresolved'] may hold
         several versions of a key across delta files; they are LWW-
         resolved here (max over (ts, lsn)) before tombstone filtering.
-        Resolved (copy-on-write/compacted) buckets skip that reduce."""
+        Resolved (copy-on-write/compacted) buckets skip that reduce.
+
+        ``key_equals`` (logical column -> value) additionally skips files
+        whose manifest min/max stats prove the value absent — safe under
+        both LWW and patch resolution because a file without the key
+        contributes nothing to that key's winner."""
         cur = self.schema
         wanted = (
             list(self.manifest["buckets"].keys())
@@ -207,8 +276,12 @@ class LakeTable:
             else [str(b) for b in buckets]
         )
         unresolved = set(self.manifest.get("unresolved", []))
-        plain = self._read_files([b for b in wanted if b not in unresolved])
-        lazy = self._read_files([b for b in wanted if b in unresolved])
+        plain = self._read_files(
+            [b for b in wanted if b not in unresolved], key_equals
+        )
+        lazy = self._read_files(
+            [b for b in wanted if b in unresolved], key_equals
+        )
         if lazy is not None and self.manifest.get("conflict") == "patch":
             # patch tables resolve PER COLUMN (cdc/patch.py); a whole-row
             # reduce here would drop older rows still holding the winning
@@ -257,30 +330,61 @@ class LakeTable:
 
     def read_key(self, **key_values) -> DataFrame:
         """Point lookup: prune to the ONE bucket the bucket_by value
-        hashes to, then filter by the given key equalities — reading one
-        conversation touches 1/n_buckets of the table's files plus
-        parquet row-group stats within them (the lakehouse analogue of an
-        index seek; Iceberg hidden-partition pruning over
-        ``bucket(B, conv_id)``). At 100 TB / 1024 buckets a lookup reads
-        ~100 GB of file listings' worth of metadata and scans only the
-        matching bucket, not the table."""
+        hashes to, skip files inside it whose manifest min/max stats
+        prove the key absent, then filter by the given key equalities —
+        three pruning tiers (the lakehouse analogue of an index seek;
+        Iceberg hidden-partition pruning over ``bucket(B, conv_id)`` plus
+        its per-file column stats). At 100 TB / 1024 buckets a lookup
+        plans tasks for only the stats-surviving files of one bucket,
+        and parquet row-group stats prune further inside each (bases are
+        key-sorted by major compaction, so the winning row-group is
+        pinpointed). The file-stats tier bites when key values carry
+        ingest-time locality — ULID-style or monotonically assigned ids,
+        where each delta file covers a narrow id range; on uniformly
+        random keys every file's min/max spans the space and the tier is
+        inert (and free — it reads the manifest, not storage)."""
         bucket_by = self.manifest["bucket_by"]
         if bucket_by not in key_values:
             raise ValueError(
                 f"point lookup requires the bucketing column {bucket_by!r}"
             )
-        df = self.read(buckets=[self.bucket_of(key_values[bucket_by])])
+        df = self.read(
+            buckets=[self.bucket_of(key_values[bucket_by])],
+            key_equals=key_values,
+        )
         for k, v in key_values.items():
             df = df.where(F.col(k) == F.lit(v))
         return df
 
-    def _read_files(self, bucket_ids: list[str]) -> DataFrame | None:
+    def _read_files(
+        self, bucket_ids: list[str], key_equals: dict | None = None
+    ) -> DataFrame | None:
         """Union the files of the given buckets at the current logical
         schema (per-written-schema groups, field-id mapped)."""
         entries = [
             e for b in bucket_ids for e in self.manifest["buckets"].get(b, [])
         ]
+        if key_equals:
+            entries = self._prune_entries(entries, key_equals)
         return self._read_entries(entries)
+
+    def _prune_entries(self, entries: list[dict], key_equals: dict) -> list[dict]:
+        """Drop manifest entries whose per-file key min/max prove they
+        cannot contain the looked-up key. Stats are keyed by physical
+        name f<field-id>, so the logical->physical mapping survives
+        renames; columns without recorded stats never prune."""
+        cur = self.schema
+        names = set(cur.names())
+        phys = {
+            f"f{cur.field_by_name(k).id}": v
+            for k, v in key_equals.items()
+            if k in names
+        }
+        return [
+            e
+            for e in entries
+            if all(_entry_may_contain(e, c, v) for c, v in phys.items())
+        ]
 
     def _read_entries(self, entries: list[dict]) -> DataFrame | None:
         """Read an explicit manifest-entry subset at the current logical
@@ -359,6 +463,15 @@ class LakeTable:
         ).parquet(out_dir)
         import pyarrow.parquet as pq
 
+        # key-column physical names: min/max per FILE ride the manifest so
+        # point lookups skip whole files before any scan task is planned
+        # (Iceberg column-stats pruning; see read_key). Field ids make the
+        # stats rename-safe.
+        stat_cols = {
+            f"f{cur.field_by_name(k).id}"
+            for k in self.manifest.get("key", [])
+            if k in set(cur.names())
+        }
         new_files: dict[str, list[dict]] = {}
         for d in os.listdir(out_dir):
             if not d.startswith("_bucket="):
@@ -371,13 +484,16 @@ class LakeTable:
                 full = os.path.join(out_dir, d, f)
                 # row count from the parquet footer: free per-partition
                 # lineage (north rule) without a counting job
-                entries.append(
-                    {
-                        "path": os.path.join(rel, d, f),
-                        "schema_id": cur.schema_id,
-                        "rows": pq.ParquetFile(full).metadata.num_rows,
-                    }
-                )
+                md = pq.ParquetFile(full).metadata
+                entry = {
+                    "path": os.path.join(rel, d, f),
+                    "schema_id": cur.schema_id,
+                    "rows": md.num_rows,
+                }
+                stats = _footer_key_stats(md, stat_cols)
+                if stats:
+                    entry["stats"] = stats
+                entries.append(entry)
             new_files[b] = entries
         return new_files
 
