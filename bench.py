@@ -36,6 +36,7 @@ from pasar_spark.session import get_spark  # noqa: E402
 # correctness, not for scale — their LSH counterparts are benched).
 BENCH_QUERIES = [
     "cdc_final_state",
+    "cdc_debezium_replay",
     "cdc_lww_latest",
     "cdc_sessions",
     "cdc_eras",

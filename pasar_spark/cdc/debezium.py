@@ -1,0 +1,290 @@
+"""Debezium change-event interop: JSON envelopes in, JSON envelopes out.
+
+Every mainstream binlog/WAL connector (Postgres pgoutput, MySQL binlog,
+MongoDB oplog — via Kafka Connect) speaks the Debezium envelope:
+
+    {"payload": {"before": {...}|null, "after": {...}|null,
+                 "op": "c"|"r"|"u"|"d"|"t",
+                 "ts_ms": ..., "source": {"lsn": ..., "ts_ms": ...,
+                                          "ts_us": ...}}}
+
+(or the bare payload when ``schemas.enable=false``). This module maps
+that format onto the engine's flat change envelope
+(:data:`pasar_spark.datagen.EVENT_COLUMNS`) and back, entirely in
+Catalyst (`from_json` / `to_json` — no Python in the row path), so the
+replay/streaming machinery tails a real connector's output unchanged:
+
+- :func:`from_debezium` — DataFrame of JSON strings → engine envelope.
+- :class:`DebeziumJsonSource` — a :class:`FeedSource` over a JSON-lines
+  WAL directory (the shape a Kafka-Connect file/S3 sink produces), so
+  ``ReplayRunner.replay(DebeziumJsonSource(...))`` just works.
+- :func:`to_debezium` — engine envelope → Debezium JSON (fixture
+  generation; also the WAL-export shape).
+- :func:`changes_as_debezium` — the table's change-data-feed re-emitted
+  as Debezium events with before/after images: the engine is a Debezium
+  *producer* too, so downstream consumers that already speak the format
+  can tail this table like any other database.
+
+Field mapping (faithful to Debezium 2.x semantics):
+
+- ``op``: c (create) and r (snapshot read) → I; u → U; d → D. Truncate
+  (t) and message (m) events carry no row and are dropped.
+- row image: ``after`` for c/r/u; key + last-known columns ride
+  ``before`` for d (deletes carry no after image).
+- ``lsn``: ``source.lsn`` — the real Postgres WAL byte offset, which is
+  SPARSE; the replay loop's gap probe (sources.py next_lsn) exists for
+  exactly this.
+- event time: ``after.ts`` is ``io.debezium.time.MicroTimestamp`` (epoch
+  micros, the connector default for TIMESTAMP columns); deletes use
+  ``source.ts_us`` (micros, Debezium >= 2.4) falling back to
+  ``source.ts_ms``.
+
+Reference parity: the reference ingests via a Postgres cursor over a
+staging schema (SURVEY.md S3; etl/pypasar/omop/observation.py:55-65) —
+this is the same capability pointed at the LOGICAL-replication stream a
+production pasar deployment would actually tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pasar_spark.cdc.sources import DataFrameSource, FeedSource
+
+# The transcript row image as Debezium renders it: temporal columns as
+# epoch micros (MicroTimestamp), everything else as-is.
+_ROW_IMAGE = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.LongType()),  # epoch micros
+        T.StructField("schema_ver", T.IntegerType()),
+        T.StructField("extra", T.StringType()),
+    ]
+)
+
+_SOURCE = T.StructType(
+    [
+        T.StructField("lsn", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+_PAYLOAD = T.StructType(
+    [
+        T.StructField("before", _ROW_IMAGE),
+        T.StructField("after", _ROW_IMAGE),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("source", _SOURCE),
+    ]
+)
+
+# One schema parses BOTH framings in a single from_json pass: a wrapped
+# event fills `payload` (flat fields null), a bare one fills the flat
+# fields (`payload` null) — JSON parsing ignores absent fields.
+_ENVELOPE = T.StructType([T.StructField("payload", _PAYLOAD), *_PAYLOAD.fields])
+
+
+def from_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse Debezium JSON events into the engine change envelope.
+
+    Accepts both the Kafka-Connect wrapped form ({"schema":…,
+    "payload":…}) and the bare payload, per-row, in one Catalyst
+    `from_json` pass. Rows that are not row-change events (truncates,
+    transaction markers, unparseable lines) are dropped.
+    """
+    p = F.from_json(F.col(value_col), _ENVELOPE)
+    ev = F.when(p["payload"].isNotNull(), p["payload"]).otherwise(
+        F.struct(
+            p["before"].alias("before"),
+            p["after"].alias("after"),
+            p["op"].alias("op"),
+            p["ts_ms"].alias("ts_ms"),
+            p["source"].alias("source"),
+        )
+    )
+    img = F.coalesce(ev["after"], ev["before"])  # d carries only before
+    is_del = ev["op"] == "d"
+    ts = F.when(
+        is_del,
+        F.coalesce(
+            F.timestamp_micros(ev["source"]["ts_us"]),
+            F.timestamp_millis(F.coalesce(ev["source"]["ts_ms"], ev["ts_ms"])),
+        ),
+    ).otherwise(F.timestamp_micros(ev["after"]["ts"]))
+    return (
+        df.select(
+            ev["source"]["lsn"].alias("lsn"),
+            F.when(is_del, F.lit("D"))
+            .when(ev["op"].isin("c", "r"), F.lit("I"))
+            .when(ev["op"] == "u", F.lit("U"))
+            .alias("op"),
+            img["conv_id"].alias("conv_id"),
+            img["turn_idx"].alias("turn_idx"),
+            # deletes carry no live payload in the engine envelope even
+            # though Debezium's before-image has the old values
+            F.when(is_del, F.lit(None).cast("string"))
+            .otherwise(img["role"])
+            .alias("role"),
+            F.when(is_del, F.lit(None).cast("string"))
+            .otherwise(img["text"])
+            .alias("text"),
+            F.when(is_del, F.lit(None).cast("string"))
+            .otherwise(img["tool"])
+            .alias("tool"),
+            ts.alias("ts"),
+            img["schema_ver"].alias("schema_ver"),
+            F.when(is_del, F.lit(None).cast("string"))
+            .otherwise(img["extra"])
+            .alias("extra"),
+        )
+        # op null ⇔ not a row-change event (t/m/unparseable) — drop;
+        # lsn null ⇔ no source block — nothing to order by, drop
+        .where(F.col("op").isNotNull() & F.col("lsn").isNotNull())
+    )
+
+
+def to_debezium(events: DataFrame, wrapped: bool = False) -> DataFrame:
+    """Engine change envelope → Debezium JSON strings (column ``value``).
+
+    The exact inverse of :func:`from_debezium` for row-change events:
+    c for I, u for U, d for D (key + schema_ver in ``before``, after
+    null, event time in ``source.ts_us``). ``wrapped=True`` adds the
+    Kafka-Connect {"payload": …} framing.
+    """
+    img = F.struct(
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("role"),
+        F.col("text"),
+        F.col("tool"),
+        F.unix_micros(F.col("ts")).alias("ts"),
+        F.col("schema_ver"),
+        F.col("extra"),
+    )
+    # delete before-image: key columns + schema_ver (the old payload is
+    # not in the engine envelope; a real connector would include it)
+    before_del = F.struct(
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.lit(None).cast("string").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("long").alias("ts"),
+        F.col("schema_ver"),
+        F.lit(None).cast("string").alias("extra"),
+    )
+    is_del = F.col("op") == "D"
+    payload = F.struct(
+        F.when(is_del, before_del).alias("before"),
+        F.when(~is_del, img).alias("after"),
+        F.when(is_del, F.lit("d"))
+        .when(F.col("op") == "I", F.lit("c"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        (F.unix_micros(F.col("ts")) / 1000).cast("long").alias("ts_ms"),
+        F.struct(
+            F.col("lsn").alias("lsn"),
+            (F.unix_micros(F.col("ts")) / 1000).cast("long").alias("ts_ms"),
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        ).alias("source"),
+    )
+    out = F.struct(payload.alias("payload")) if wrapped else payload
+    return events.select(F.to_json(out).alias("value"))
+
+
+class DebeziumJsonSource(FeedSource):
+    """A JSON-lines WAL directory of Debezium events as a FeedSource.
+
+    The on-disk shape a Kafka-Connect file/S3 sink (or a `kcat` dump)
+    produces. Parsing happens in the scan tasks (`from_json` over the
+    text splits — distributed, not driver-side); tip/gap probes are
+    min/max aggregates over the parsed ``lsn``, the same plan shape
+    DataFrameSource uses. JSON text carries no footer stats, so chunk
+    predicates prune at the row level, not the file level — a deployment
+    that needs file pruning converts the feed to parquet (one
+    `from_debezium(...).write.parquet(...)` pass) or tails the topic
+    directly; this source is the zero-conversion path.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, value_col: str = "value"):
+        self.spark = spark
+        self.path = path
+        raw = spark.read.text(path).withColumnRenamed("value", "_raw")
+        self._inner = DataFrameSource(from_debezium(raw, "_raw"))
+
+    def tip(self) -> int | None:
+        return self._inner.tip()
+
+    def chunk(self, lo: int, hi: int) -> DataFrame | None:
+        return self._inner.chunk(lo, hi)
+
+    def next_lsn(self, after: int) -> int | None:
+        return self._inner.next_lsn(after)
+
+
+def changes_as_debezium(
+    table, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Re-emit a snapshot range's change-data-feed as Debezium JSON.
+
+    Makes the lake table a Debezium *producer*: each CDF row becomes a
+    c/u/d event with real before/after images (``pre_images=True`` gives
+    the before payload; Debezium's REPLICA IDENTITY FULL analogue), so
+    downstream systems that already consume connector streams can tail
+    this table with no new format. ``source.lsn`` carries the row's LWW
+    ``lsn``; ``source.ts_us`` its event time — replaying the emitted
+    stream through :func:`from_debezium` + LWW lands the same winners.
+    """
+    ch = table.changes(from_version, to_version, pre_images=True)
+    key = list(table.manifest["key"])
+    order = list(table.manifest.get("resolve_order", ["ts", "lsn"]))
+    payload = [
+        c
+        for c in table.schema.names()
+        if c not in set(key) | set(order) | {"_tombstone"}
+    ]
+    is_del = F.col("_change_type") == "delete"
+    is_ins = F.col("_change_type") == "insert"
+
+    def image(prefix: str):
+        # key columns are shared (unprefixed) in the CDF; order+payload
+        # columns carry the prefix on the pre-image side. `ts` is
+        # rendered as epoch micros, Debezium MicroTimestamp style.
+        def src(name: str):
+            return F.col(name if name in key else prefix + name)
+
+        cols = [src(k).alias(k) for k in key]
+        cols += [F.unix_micros(src("ts")).alias("ts")]
+        cols += [src(c).alias(c) for c in payload]
+        cols += [F.lit(table.schema.schema_id).alias("schema_ver")]
+        return F.struct(*cols)
+
+    payload = F.struct(
+        F.when(~is_ins, image("_prev_")).alias("before"),
+        F.when(~is_del, image("")).alias("after"),
+        F.when(is_del, F.lit("d"))
+        .when(is_ins, F.lit("c"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        (F.unix_micros(F.coalesce(F.col("ts"), F.col("_prev_ts"))) / 1000)
+        .cast("long")
+        .alias("ts_ms"),
+        F.struct(
+            F.coalesce(F.col("lsn"), F.col("_prev_lsn")).alias("lsn"),
+            (F.unix_micros(F.coalesce(F.col("ts"), F.col("_prev_ts"))) / 1000)
+            .cast("long")
+            .alias("ts_ms"),
+            F.unix_micros(F.coalesce(F.col("ts"), F.col("_prev_ts"))).alias(
+                "ts_us"
+            ),
+        ).alias("source"),
+    )
+    return ch.select(F.to_json(payload).alias("value"))

@@ -741,7 +741,10 @@ class LakeTable:
         snapshots, the Iceberg/Delta change-data-feed analogue. Emits one
         row per key whose LIVE state differs between ``from_version`` and
         ``to_version`` (default: this snapshot), with ``_change_type`` in
-        {'insert','update','delete'}, the post-image payload (null for
+        {'insert','update','delete'}, the change's resolve-order position
+        (for deletes: the TOMBSTONE's own ts/lsn — the delete event's
+        position, which is what lets cdc/debezium.py re-emit the feed
+        losslessly), the post-image payload (null for
         deletes), and the pre-image resolve-order columns
         (``_prev_<col>``) for lineage. ``pre_images=True`` additionally
         emits the pre-image PAYLOAD columns (``_prev_<payload>``, null
@@ -900,10 +903,14 @@ class LakeTable:
             .select(
                 *out_key,
                 F.col("_change_type"),
-                *[
-                    F.when(b_exists, F.col(c)).alias(c)
-                    for c in [*order, *payload]
-                ],
+                # the CHANGE's position: for deletes the resolved b-side
+                # row is the tombstone, so these are the delete event's
+                # own (ts, lsn) — what a Debezium consumer needs to
+                # order/replay the feed (cdc/debezium.py). Null only when
+                # the key vanished from storage entirely (tombstone
+                # vacuumed inside the version range).
+                *[F.col(c).alias(c) for c in order],
+                *[F.when(b_exists, F.col(c)).alias(c) for c in payload],
                 *[
                     F.col(f"_a_{c}").alias(f"_prev_{c}")
                     for c in [*order, *(payload if pre_images else [])]

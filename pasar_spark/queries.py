@@ -184,6 +184,64 @@ def cdc_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_debezium_replay",
+    f"""
+    WITH feed AS ({_FEED_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM feed)
+    SELECT conv_id, turn_idx, text, ts, lsn
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_debezium_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium wire-format interop, hash-gated end to end: the change
+    feed is rendered to Kafka-Connect-wrapped Debezium JSON envelopes
+    (cdc/debezium.py to_debezium), parsed back in one Catalyst
+    `from_json` pass (from_debezium — op mapping c/u/d, MicroTimestamp
+    event time, source.lsn), and LWW-replayed. The oracle recomputes the
+    final state from the RAW feed — equality proves the connector
+    round-trip is lossless for every LWW-relevant field, including JSON
+    string escaping of the payload text. The same codec feeds
+    DebeziumJsonSource (a JSON-lines WAL tailed by the unchanged replay
+    runner; tests/test_debezium.py) — this row is its driver-gated
+    correctness anchor.
+
+    Reference parity: the reference ingests via a Postgres cursor over
+    staging tables (SURVEY.md S3; etl/pypasar/omop/observation.py:55-65);
+    Debezium is that same Postgres feed in logical-replication form."""
+    from pasar_spark.cdc.debezium import from_debezium, to_debezium
+
+    feed = _as_change_feed(load(spark, sf_dir, "events"))
+    null_s = F.lit(None).cast("string")
+    wire = to_debezium(
+        feed.select(
+            "lsn", "op", "conv_id", "turn_idx",
+            null_s.alias("role"), "text", null_s.alias("tool"),
+            # events.ts is TIMESTAMP_NTZ; the wire codec speaks epoch
+            # micros (session tz pinned UTC, so the casts are identity)
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.lit(None).cast("int").alias("schema_ver"),
+            null_s.alias("extra"),
+        ),
+        wrapped=True,
+    )
+    back = from_debezium(wire, "value")
+    won = lww_reduce(back, key=["conv_id", "turn_idx"], order=["ts", "lsn"])
+    return won.where(F.col("op") != "D").select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "lsn",
+    )
+
+
+@register_retired(  # r4: driver seat given to cdc_debezium_replay (50-cap);
+    # a plain groupBy-count whose aggregate coverage q1_lineitem_agg and
+    # doc_fingerprint_stats subsume — still oracle-checked every pytest
+    # run by tests/test_retired_oracles.py
     "cdc_op_mix",
     f"""
     WITH feed AS ({_FEED_SQL})
@@ -502,7 +560,7 @@ def _two_snapshot_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
            CASE WHEN (a.conv_id IS NULL OR a.op = 'D') AND b.op <> 'D' THEN 'insert'
                 WHEN a.op <> 'D' AND b.op = 'D' THEN 'delete'
                 ELSE 'update' END AS change_type,
-           CASE WHEN b.op = 'D' THEN NULL ELSE b.lsn END AS lsn,
+           b.lsn AS lsn,
            CASE WHEN b.op = 'D' THEN NULL
                 ELSE nfc_normalize(trim(regexp_replace(b.text, '\\s+', ' ', 'g')))
                 END AS text,

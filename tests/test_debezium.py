@@ -1,0 +1,142 @@
+"""Debezium envelope interop: consume connector JSON, produce it back.
+
+Round-trip law: ``from_debezium(to_debezium(ev)) == ev`` for row-change
+events (modulo delete payload nulls — the engine envelope carries no
+before-image values). Source law: replaying a Debezium JSON-lines WAL
+lands the exact final state the native parquet feed lands. Producer law:
+a consumer that tails ``changes_as_debezium`` output and LWW-applies it
+converges to the source table — which is what makes the delete rows'
+tombstone-position (ts, lsn) in the CDF load-bearing: a delete re-emitted
+at the PRE-image's position would tie with the row it kills and lose the
+LWW comparison at the consumer.
+
+Reference parity: the reference ingests via a Postgres cursor over
+staging tables (SURVEY.md S3); Debezium is that same Postgres feed in
+its logical-replication form.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pasar_spark.cdc.debezium import (
+    DebeziumJsonSource,
+    changes_as_debezium,
+    from_debezium,
+    to_debezium,
+)
+from pasar_spark.cdc.runner import ReplayRunner
+from pasar_spark.cdc.sources import DataFrameSource
+from pasar_spark.datagen import EVENT_COLUMNS, change_events
+
+
+def _events(spark, n=4_000, seed=11):
+    return change_events(spark, n, n_convs=80, seed=seed)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select(*EVENT_COLUMNS).collect())
+
+
+def _expected_after_roundtrip(ev):
+    # deletes lose their payload columns (the engine envelope has no
+    # before-image values to carry) — everything else is identity
+    is_del = F.col("op") == "D"
+    null_s = F.lit(None).cast("string")
+    return ev.select(
+        "lsn",
+        "op",
+        "conv_id",
+        "turn_idx",
+        F.when(is_del, null_s).otherwise(F.col("role")).alias("role"),
+        F.when(is_del, null_s).otherwise(F.col("text")).alias("text"),
+        F.when(is_del, null_s).otherwise(F.col("tool")).alias("tool"),
+        "ts",
+        "schema_ver",
+        F.when(is_del, null_s).otherwise(F.col("extra")).alias("extra"),
+    )
+
+
+@pytest.mark.parametrize("wrapped", [False, True])
+def test_roundtrip_engine_debezium_engine(spark, wrapped):
+    ev = _events(spark)
+    back = from_debezium(to_debezium(ev, wrapped=wrapped), "value")
+    assert _rows(back) == _rows(_expected_after_roundtrip(ev))
+
+
+def test_framing_and_junk_lines(spark):
+    ev = _events(spark, n=200, seed=7).where("op = 'I'").limit(5)
+    wrapped = to_debezium(ev, wrapped=True)
+    bare = to_debezium(ev, wrapped=False)
+    junk = spark.createDataFrame(
+        [
+            ('{"payload": {"op": "t", "source": {"lsn": 9}}}',),  # truncate
+            ('{"payload": {"op": "m", "ts_ms": 1}}',),  # message marker
+            ("not json at all",),
+            ('{"schema": {"type": "struct"}}',),  # schema-only fragment
+        ],
+        "value string",
+    )
+    out = from_debezium(wrapped.union(bare).union(junk), "value")
+    # both framings parse identically; junk contributes nothing
+    assert _rows(out) == _rows(
+        _expected_after_roundtrip(ev.union(ev))
+    )
+
+
+def test_debezium_wal_replay_matches_native_feed(spark, tmp_path):
+    """A JSON-lines Debezium WAL replayed through the UNCHANGED runner
+    equals the native parquet-feed replay — op mapping, micro-timestamp
+    decode and sparse WAL LSNs all exercised by the real merge loop."""
+    ev = _events(spark, n=6_000, seed=23)
+    wal = str(tmp_path / "dbz_wal")
+    to_debezium(ev, wrapped=True).repartition(6).write.text(wal)
+
+    native = ReplayRunner(
+        spark, str(tmp_path / "t_native"), n_buckets=4, chunk_size=2_000
+    ).replay(DataFrameSource(ev))
+    tailed = ReplayRunner(
+        spark, str(tmp_path / "t_dbz"), n_buckets=4, chunk_size=2_000
+    ).replay(DebeziumJsonSource(spark, wal))
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
+    a = sorted(tuple(r) for r in native.read().select(*cols).collect())
+    b = sorted(tuple(r) for r in tailed.read().select(*cols).collect())
+    assert a == b and len(a) > 0
+
+
+def test_changes_as_debezium_consumer_converges(spark, tmp_path):
+    """Tail the table's CDF as Debezium events into a second table in two
+    version hops (hop 2 carries real updates AND deletes) — the consumer
+    must land the source's exact live state."""
+    ev = _events(spark, n=6_000, seed=31)
+    cut = ev.agg(F.expr("percentile(lsn, 0.5)")).collect()[0][0]
+    src_path = str(tmp_path / "src")
+    from pasar_spark.cdc.runner import bootstrap_table
+
+    v0 = bootstrap_table(spark, src_path, n_buckets=4).version
+    runner = ReplayRunner(spark, src_path, n_buckets=4, chunk_size=2_000)
+    t1 = runner.replay(DataFrameSource(ev.where(F.col("lsn") <= cut)))
+    v1 = t1.version
+    t2 = ReplayRunner(spark, src_path, n_buckets=4, chunk_size=2_000).replay(
+        DataFrameSource(ev)
+    )
+    hop2 = from_debezium(changes_as_debezium(t2, v1), "value")
+    assert hop2.where("op = 'D'").count() > 0  # the interesting case
+    assert hop2.where("op = 'U'").count() > 0
+
+    consumer = ReplayRunner(
+        spark, str(tmp_path / "dst"), n_buckets=4, chunk_size=100_000
+    )
+    consumer.replay(
+        DataFrameSource(from_debezium(changes_as_debezium(t2, v0, v1), "value"))
+    )
+    dst = ReplayRunner(
+        spark, str(tmp_path / "dst"), n_buckets=4, chunk_size=100_000
+    ).replay(DataFrameSource(hop2))
+
+    cols = ["conv_id", "turn_idx", "role", "text", "ts"]
+    a = sorted(tuple(r) for r in t2.read().select(*cols).collect())
+    b = sorted(tuple(r) for r in dst.read().select(*cols).collect())
+    assert a == b and len(a) > 0

@@ -80,9 +80,16 @@ def test_changes_matches_brute_force_diff(spark, halves):
 def test_changes_post_and_pre_images(spark, halves):
     tbl, v1, t2 = halves
     ch = t2.changes(v1)
-    # deletes carry no post-image; inserts/updates carry the winner's lsn
-    assert ch.where("_change_type = 'delete' AND lsn IS NOT NULL").count() == 0
-    assert ch.where("_change_type <> 'delete' AND lsn IS NULL").count() == 0
+    # every change carries its own position: the winner's lsn for
+    # inserts/updates, the TOMBSTONE's lsn for deletes (what lets
+    # changes_as_debezium re-emit a replayable feed) — and a delete's
+    # position is strictly newer than the row it killed
+    assert ch.where("lsn IS NULL").count() == 0
+    assert ch.where("_change_type = 'delete' AND text IS NOT NULL").count() == 0
+    dels = ch.where("_change_type = 'delete'")
+    assert dels.count() > 0 and dels.where(
+        "ts < _prev_ts OR (ts = _prev_ts AND lsn <= _prev_lsn)"
+    ).count() == 0
     # updates carry the pre-image lsn, strictly older than the post-image
     assert ch.where("_change_type = 'update' AND _prev_lsn IS NULL").count() == 0
     upd = ch.where("_change_type = 'update'")
