@@ -92,16 +92,10 @@ _PAYLOAD = T.StructType(
 _ENVELOPE = T.StructType([T.StructField("payload", _PAYLOAD), *_PAYLOAD.fields])
 
 
-def from_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
-    """Parse Debezium JSON events into the engine change envelope.
-
-    Accepts both the Kafka-Connect wrapped form ({"schema":…,
-    "payload":…}) and the bare payload, per-row, in one Catalyst
-    `from_json` pass. Rows that are not row-change events (truncates,
-    transaction markers, unparseable lines) are dropped.
-    """
+def _event(value_col: str):
+    """Parsed event struct: wrapped framing unpacked, bare passed through."""
     p = F.from_json(F.col(value_col), _ENVELOPE)
-    ev = F.when(p["payload"].isNotNull(), p["payload"]).otherwise(
+    return F.when(p["payload"].isNotNull(), p["payload"]).otherwise(
         F.struct(
             p["before"].alias("before"),
             p["after"].alias("after"),
@@ -110,6 +104,37 @@ def from_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
             p["source"].alias("source"),
         )
     )
+
+
+def _accepted(ev):
+    """True iff the parsed event is an orderable row change: a c/r/u/d op
+    with a source LSN. Null-safe (unparseable lines parse to all-null)."""
+    return F.coalesce(
+        ev["op"].isin("c", "r", "u", "d") & ev["source"]["lsn"].isNotNull(),
+        F.lit(False),
+    )
+
+
+def debezium_rejects(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """The complement of :func:`from_debezium`: raw lines that are NOT
+    orderable row-change events (truncates, transaction markers, schema
+    fragments, corrupt JSON) — the dead-letter-queue feed. Together the
+    two functions partition the input exactly; a production tail writes
+    this side to quarantine instead of dropping it silently
+    (streaming/stream.py dlq_path)."""
+    return df.where(~_accepted(_event(value_col)))
+
+
+def from_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse Debezium JSON events into the engine change envelope.
+
+    Accepts both the Kafka-Connect wrapped form ({"schema":…,
+    "payload":…}) and the bare payload, per-row, in one Catalyst
+    `from_json` pass. Rows that are not row-change events (truncates,
+    transaction markers, unparseable lines) are dropped — route them to
+    a quarantine with :func:`debezium_rejects`.
+    """
+    ev = _event(value_col)
     img = F.coalesce(ev["after"], ev["before"])  # d carries only before
     is_del = ev["op"] == "d"
     ts = F.when(
@@ -146,7 +171,9 @@ def from_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
             .alias("extra"),
         )
         # op null ⇔ not a row-change event (t/m/unparseable) — drop;
-        # lsn null ⇔ no source block — nothing to order by, drop
+        # lsn null ⇔ no source block — nothing to order by, drop.
+        # (On the OUTPUT columns this is exactly `_accepted`: the mapped
+        # op is null iff the raw op is outside c/r/u/d.)
         .where(F.col("op").isNotNull() & F.col("lsn").isNotNull())
     )
 

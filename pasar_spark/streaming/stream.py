@@ -75,6 +75,8 @@ class StreamingIngest:
         compact_min_files: int = 8,
         audit_checks=None,
         schema: StructType | None = None,
+        wire_format: str = "parquet",
+        dlq_path: str | None = None,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -98,6 +100,19 @@ class StreamingIngest:
         # its envelope from whatever happens to be in the directory).
         # None keeps the old infer-from-contents behavior for ad-hoc use.
         self.schema = schema
+        # WAL encoding: "parquet" (native envelope files) or
+        # "debezium-json" (JSON-lines connector events — the shape a
+        # Kafka-Connect file/S3 sink ships; cdc/debezium.py decodes them
+        # inside each epoch, so the merge core is format-blind).
+        if wire_format not in ("parquet", "debezium-json"):
+            raise ValueError(f"unknown wire_format {wire_format!r}")
+        self.wire_format = wire_format
+        # quarantine for non-row-change lines on the debezium-json path
+        # (truncates, tx markers, corrupt JSON): written per epoch under
+        # dlq/epoch=<id>/ with overwrite, so a redelivered epoch rewrites
+        # rather than duplicates its rejects — same idempotence argument
+        # as the ledger. None drops rejects silently.
+        self.dlq_path = dlq_path
 
     def bootstrap(self) -> LakeTable:
         return bootstrap_table(self.spark, self.table_path, self.n_buckets)
@@ -107,6 +122,14 @@ class StreamingIngest:
         table = LakeTable.load(self.spark, self.table_path)
         if table.has_batch(batch_id):
             return  # redelivered epoch after a checkpoint/commit race
+        if self.wire_format == "debezium-json":
+            from pasar_spark.cdc.debezium import debezium_rejects, from_debezium
+
+            if self.dlq_path is not None:
+                debezium_rejects(batch_df, "value").write.mode("overwrite").text(
+                    f"{self.dlq_path}/epoch={epoch_id}"
+                )
+            batch_df = from_debezium(batch_df, "value")
         if self.evolution_plan.steps:
             ver = max_schema_ver(batch_df)
             if ver > table.manifest["ledger"].get("feed_schema_ver", 0):
@@ -131,18 +154,32 @@ class StreamingIngest:
         import os
 
         self.bootstrap()
-        # The file source needs an explicit schema. Pinned (production:
-        # startable against an EMPTY WAL dir, stable across whatever the
-        # shipper writes) or, as an ad-hoc fallback, inferred from the
-        # current WAL contents.
-        schema = self.schema
-        if schema is None:
-            schema = self.spark.read.parquet(self.wal_path).schema
-        os.makedirs(self.wal_path, exist_ok=True)  # tail-before-first-ship
-        reader = self.spark.readStream.schema(schema)
-        if self.max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        stream = reader.parquet(self.wal_path)
+        if self.wire_format == "debezium-json":
+            # JSON-lines text source: schema is `value string` by
+            # construction, so the tail is always startable against an
+            # empty WAL dir; envelope decode happens per epoch.
+            os.makedirs(self.wal_path, exist_ok=True)
+            reader = self.spark.readStream
+            if self.max_files_per_trigger:
+                reader = reader.option(
+                    "maxFilesPerTrigger", self.max_files_per_trigger
+                )
+            stream = reader.text(self.wal_path)
+        else:
+            # The parquet file source needs an explicit schema. Pinned
+            # (production: startable against an EMPTY WAL dir, stable
+            # across whatever the shipper writes) or, as an ad-hoc
+            # fallback, inferred from the current WAL contents.
+            schema = self.schema
+            if schema is None:
+                schema = self.spark.read.parquet(self.wal_path).schema
+            os.makedirs(self.wal_path, exist_ok=True)  # tail-before-first-ship
+            reader = self.spark.readStream.schema(schema)
+            if self.max_files_per_trigger:
+                reader = reader.option(
+                    "maxFilesPerTrigger", self.max_files_per_trigger
+                )
+            stream = reader.parquet(self.wal_path)
         return (
             stream.writeStream.foreachBatch(self._apply_epoch)
             .option("checkpointLocation", self.checkpoint_path)
