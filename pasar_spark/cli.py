@@ -151,6 +151,8 @@ def cmd_stream(args) -> int:
         checkpoint_path=args.checkpoint,
         n_buckets=args.buckets,
         merge_mode=args.mode,
+        wire_format=args.wire_format,
+        dlq_path=args.dlq,
     )
     if args.live:
         # production live tail: processingTime trigger; --duration bounds
@@ -353,6 +355,17 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--live", action="store_true", help="processingTime trigger instead of availableNow")
     s.add_argument("--trigger-interval", default="1 second")
     s.add_argument("--duration", type=int, default=0, help="seconds to tail with --live (0 = forever)")
+    s.add_argument(
+        "--wire-format",
+        choices=["parquet", "debezium-json"],
+        default="parquet",
+        help="WAL encoding: native parquet envelopes, or Debezium JSON lines",
+    )
+    s.add_argument(
+        "--dlq",
+        default=None,
+        help="quarantine dir for non-row-change lines (debezium-json only)",
+    )
     s.set_defaults(fn=cmd_stream)
 
     c = sub.add_parser("compact", help="fold MoR delta files")
