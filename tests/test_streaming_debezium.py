@@ -79,6 +79,55 @@ def test_debezium_stream_matches_batch_resumes_and_quarantines(spark, tmp_path):
     assert got == sorted(JUNK_A + JUNK_B)
 
 
+def test_debezium_stream_applies_schema_evolution_mid_tail(spark, tmp_path):
+    """schema_ver and the extra JSON ride the Debezium row image, so
+    evolution arriving mid-tail works over the connector wire exactly as
+    over native parquet: a later epoch carrying schema_ver=1 evolves the
+    table (add 'sentiment'), promotes the extra, and the final state
+    matches an independent LWW+json oracle over the RAW feed."""
+    import duckdb
+
+    from pasar_spark.cdc.schema_evolution import EvolutionPlan
+    from pasar_spark.lake.table import LakeTable
+
+    wal = str(tmp_path / "wal")
+    evo_lsn = 3_000
+    ev_all = change_events(spark, 6_000, n_convs=80, seed=7, evolution_lsn=evo_lsn)
+
+    ingest = StreamingIngest(
+        spark, str(tmp_path / "tbl"), wal,
+        checkpoint_path=str(tmp_path / "ckpt"), n_buckets=4,
+        evolution_plan=EvolutionPlan(steps={1: [("add", "sentiment", "int")]}),
+        wire_format="debezium-json",
+    )
+    _ship(spark, ev_all.where(f"lsn < {evo_lsn}"), wal, [])
+    t1 = ingest.run_available_now()
+    assert "sentiment" not in t1.schema.names()  # nothing evolved yet
+
+    _ship(spark, ev_all.where(f"lsn >= {evo_lsn}"), wal, [])
+    t2 = ingest.run_available_now()
+    assert "sentiment" in t2.schema.names()
+
+    raw = str(tmp_path / "raw")
+    ev_all.write.parquet(raw)
+    con = duckdb.connect()
+    want = {
+        (c, t): s
+        for c, t, s in con.execute(
+            f"""
+        SELECT conv_id, turn_idx,
+               CAST(json_extract_string(extra, '$.sentiment') AS INT)
+        FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                       ORDER BY ts DESC, lsn DESC) rn FROM '{raw}/*.parquet')
+        WHERE rn = 1 AND op <> 'D'
+        """
+        ).fetchall()
+    }
+    t = LakeTable.load(spark, str(tmp_path / "tbl"))
+    got = {(r.conv_id, r.turn_idx): r.sentiment for r in t.read().collect()}
+    assert got == want
+
+
 def test_debezium_stream_starts_on_empty_wal(spark, tmp_path):
     """The text source needs no schema, so the connector tail is
     startable before the first file ships — then converges."""
