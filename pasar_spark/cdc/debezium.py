@@ -244,8 +244,16 @@ class DebeziumJsonSource(FeedSource):
     def __init__(self, spark: SparkSession, path: str, value_col: str = "value"):
         self.spark = spark
         self.path = path
-        raw = spark.read.text(path).withColumnRenamed("value", "_raw")
-        self._inner = DataFrameSource(from_debezium(raw, "_raw"))
+        self._raw = spark.read.text(path).withColumnRenamed("value", "_raw")
+        self._inner = DataFrameSource(from_debezium(self._raw, "_raw"))
+
+    def rejects(self) -> DataFrame:
+        """Raw lines in the WAL that are not row-change events — the
+        batch twin of the streaming dead-letter queue (callers quarantine
+        or count these; the replay itself never sees them)."""
+        return debezium_rejects(self._raw, "_raw").withColumnRenamed(
+            "_raw", "value"
+        )
 
     def tip(self) -> int | None:
         return self._inner.tip()

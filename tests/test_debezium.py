@@ -106,6 +106,21 @@ def test_debezium_wal_replay_matches_native_feed(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_wal_source_rejects_partition_the_input(spark, tmp_path):
+    """DebeziumJsonSource.rejects() + the accepted feed partition the WAL
+    exactly: junk lines surface for quarantine, never reach the replay."""
+    ev = _events(spark, n=300, seed=13)
+    wal = str(tmp_path / "wal")
+    junk = ['{"payload":{"op":"t","source":{"lsn":1}}}', "BAD {"]
+    to_debezium(ev, wrapped=True).union(
+        spark.createDataFrame([(j,) for j in junk], "value string")
+    ).repartition(2).write.text(wal)
+    src = DebeziumJsonSource(spark, wal)
+    assert sorted(r.value for r in src.rejects().collect()) == sorted(junk)
+    n_total = spark.read.text(wal).count()
+    assert src.chunk(0, 1 << 60).count() + src.rejects().count() == n_total
+
+
 def test_changes_as_debezium_consumer_converges(spark, tmp_path):
     """Tail the table's CDF as Debezium events into a second table in two
     version hops (hop 2 carries real updates AND deletes) — the consumer
