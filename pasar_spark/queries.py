@@ -213,7 +213,9 @@ def cdc_debezium_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     Debezium is that same Postgres feed in logical-replication form."""
     from pasar_spark.cdc.debezium import from_debezium, to_debezium
 
-    feed = _as_change_feed(load(spark, sf_dir, "events"))
+    # JSON encode+parse is the expensive stage; fan the single-file local
+    # scan out first (no-op on a real cluster / many-split scan)
+    feed = _as_change_feed(spread(load(spark, sf_dir, "events")))
     null_s = F.lit(None).cast("string")
     wire = to_debezium(
         feed.select(
