@@ -292,6 +292,20 @@ class DebeziumJsonSource(FeedSource):
             "_raw", "value"
         )
 
+    def to_parquet(self, path: str, n_files: int = 32):
+        """One-pass conversion to a range-partitioned parquet WAL,
+        returning the :class:`ParquetDirSource` over it — the scale path
+        this docstring promises. JSON text has no footer stats, so every
+        chunk/tip probe on THIS source re-parses the whole WAL
+        (O(chunks × WAL)); converting pays one full parse and buys
+        footer-stat file pruning for the rest of the replay. Files are
+        range-sorted by lsn (repartitionByRange) so each chunk overlaps
+        few files — the layout the pruner expects."""
+        from pasar_spark.cdc.sources import ParquetDirSource
+
+        self._inner.df.repartitionByRange(n_files, "lsn").write.parquet(path)
+        return ParquetDirSource(self.spark, path)
+
     def tip(self) -> int | None:
         return self._inner.tip()
 

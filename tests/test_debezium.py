@@ -121,6 +121,29 @@ def test_wal_source_rejects_partition_the_input(spark, tmp_path):
     assert src.chunk(0, 1 << 60).count() + src.rejects().count() == n_total
 
 
+def test_wal_to_parquet_conversion_replays_identically(spark, tmp_path):
+    """to_parquet (the documented scale path: one parse, then footer-stat
+    pruned chunks) lands the same final state as tailing the JSON WAL
+    directly — and junk lines don't survive the conversion."""
+    ev = _events(spark, n=4_000, seed=29)
+    wal = str(tmp_path / "wal")
+    to_debezium(ev, wrapped=True).union(
+        spark.createDataFrame([("junk line",)], "value string")
+    ).repartition(4).write.text(wal)
+    src = DebeziumJsonSource(spark, wal)
+    converted = src.to_parquet(str(tmp_path / "pq"), n_files=6)
+    a = ReplayRunner(
+        spark, str(tmp_path / "ta"), n_buckets=4, chunk_size=1_500
+    ).replay(src)
+    b = ReplayRunner(
+        spark, str(tmp_path / "tb"), n_buckets=4, chunk_size=1_500
+    ).replay(converted)
+    cols = ["conv_id", "turn_idx", "text", "ts", "lsn"]
+    ra = sorted(tuple(r) for r in a.read().select(*cols).collect())
+    rb = sorted(tuple(r) for r in b.read().select(*cols).collect())
+    assert ra == rb and len(ra) > 0
+
+
 def test_changes_as_debezium_consumer_converges(spark, tmp_path):
     """Tail the table's CDF as Debezium events into a second table in two
     version hops (hop 2 carries real updates AND deletes) — the consumer
