@@ -62,8 +62,15 @@ def cmd_gen(args) -> int:
         seed=args.seed,
         evolution_lsn=args.evolution_lsn,
     )
-    write_change_log(df, args.wal, n_files=args.files)
-    print(json.dumps({"wal": args.wal, "events": args.events}))
+    if args.format == "debezium-json":
+        from pasar_spark.cdc.debezium import to_debezium
+
+        to_debezium(df, wrapped=True).repartition(args.files).write.text(
+            args.wal
+        )
+    else:
+        write_change_log(df, args.wal, n_files=args.files)
+    print(json.dumps({"wal": args.wal, "events": args.events, "format": args.format}))
     return 0
 
 
@@ -315,6 +322,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--files", type=int, default=32)
     g.add_argument("--evolution-lsn", type=int, default=None)
+    g.add_argument(
+        "--format",
+        choices=["parquet", "debezium-json"],
+        default="parquet",
+        help="WAL encoding (debezium-json pairs with stream --wire-format)",
+    )
     g.set_defaults(fn=cmd_gen)
 
     i = sub.add_parser("ingest", help="replay the change feed from the checkpoint to its end")
