@@ -272,17 +272,40 @@ class DebeziumJsonSource(FeedSource):
     text splits — distributed, not driver-side); tip/gap probes are
     min/max aggregates over the parsed ``lsn``, the same plan shape
     DataFrameSource uses. JSON text carries no footer stats, so chunk
-    predicates prune at the row level, not the file level — a deployment
-    that needs file pruning converts the feed to parquet (one
-    `from_debezium(...).write.parquet(...)` pass) or tails the topic
-    directly; this source is the zero-conversion path.
+    predicates prune at the row level, not the file level. Three tiers
+    by WAL size: this source bare (zero setup, re-parses per chunk),
+    ``cache=True`` (parse once into executor memory, spilling to disk),
+    or :meth:`to_parquet` (one conversion pass, then footer-stat file
+    pruning — the 100 TB path). A Kafka deployment tails the topic
+    directly (``readStream.format("kafka")`` → the same
+    :func:`from_debezium`).
     """
 
-    def __init__(self, spark: SparkSession, path: str, value_col: str = "value"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        value_col: str = "value",
+        cache: bool = False,
+    ):
         self.spark = spark
         self.path = path
         self._raw = spark.read.text(path).withColumnRenamed("value", "_raw")
-        self._inner = DataFrameSource(from_debezium(self._raw, "_raw"))
+        parsed = from_debezium(self._raw, "_raw")
+        # cache=True persists the PARSED envelope (memory, spilling to
+        # disk) so a multi-chunk replay parses the JSON once instead of
+        # once per chunk/tip probe — the middle ground between the
+        # zero-setup text tail and a to_parquet conversion. Caller owns
+        # the lifecycle: unpersist() when the replay is done.
+        self._cached = cache
+        if cache:
+            parsed = parsed.persist()
+        self._inner = DataFrameSource(parsed)
+
+    def unpersist(self) -> None:
+        """Release the cached parse (no-op when cache=False)."""
+        if self._cached:
+            self._inner.df.unpersist()
 
     def rejects(self) -> DataFrame:
         """Raw lines in the WAL that are not row-change events — the

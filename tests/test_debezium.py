@@ -85,10 +85,12 @@ def test_framing_and_junk_lines(spark):
     )
 
 
-def test_debezium_wal_replay_matches_native_feed(spark, tmp_path):
+@pytest.mark.parametrize("cache", [False, True])
+def test_debezium_wal_replay_matches_native_feed(spark, tmp_path, cache):
     """A JSON-lines Debezium WAL replayed through the UNCHANGED runner
     equals the native parquet-feed replay — op mapping, micro-timestamp
-    decode and sparse WAL LSNs all exercised by the real merge loop."""
+    decode and sparse WAL LSNs all exercised by the real merge loop.
+    cache=True covers the persist-the-parse tier."""
     ev = _events(spark, n=6_000, seed=23)
     wal = str(tmp_path / "dbz_wal")
     to_debezium(ev, wrapped=True).repartition(6).write.text(wal)
@@ -96,9 +98,11 @@ def test_debezium_wal_replay_matches_native_feed(spark, tmp_path):
     native = ReplayRunner(
         spark, str(tmp_path / "t_native"), n_buckets=4, chunk_size=2_000
     ).replay(DataFrameSource(ev))
+    src = DebeziumJsonSource(spark, wal, cache=cache)
     tailed = ReplayRunner(
         spark, str(tmp_path / "t_dbz"), n_buckets=4, chunk_size=2_000
-    ).replay(DebeziumJsonSource(spark, wal))
+    ).replay(src)
+    src.unpersist()
 
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]
     a = sorted(tuple(r) for r in native.read().select(*cols).collect())
