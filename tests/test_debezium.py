@@ -110,6 +110,29 @@ def test_debezium_wal_replay_matches_native_feed(spark, tmp_path, cache):
     assert a == b and len(a) > 0
 
 
+def test_debezium_replay_resumes_after_crash(spark, tmp_path):
+    """Kill the replay after one chunk, resume with a fresh runner over
+    the SAME JSON WAL: the ledger's exactly-once argument is
+    source-agnostic, so the final state equals an uninterrupted replay."""
+    ev = _events(spark, n=6_000, seed=37)
+    wal = str(tmp_path / "wal")
+    to_debezium(ev, wrapped=True).repartition(4).write.text(wal)
+    path = str(tmp_path / "t")
+    ReplayRunner(spark, path, n_buckets=4, chunk_size=1_500).replay(
+        DebeziumJsonSource(spark, wal), stop_after_chunks=1
+    )
+    resumed = ReplayRunner(spark, path, n_buckets=4, chunk_size=1_500).replay(
+        DebeziumJsonSource(spark, wal)
+    )
+    clean = ReplayRunner(
+        spark, str(tmp_path / "t2"), n_buckets=4, chunk_size=1_500
+    ).replay(DebeziumJsonSource(spark, wal))
+    cols = ["conv_id", "turn_idx", "text", "ts", "lsn"]
+    a = sorted(tuple(r) for r in resumed.read().select(*cols).collect())
+    b = sorted(tuple(r) for r in clean.read().select(*cols).collect())
+    assert a == b and len(a) > 0
+
+
 def test_wal_source_rejects_partition_the_input(spark, tmp_path):
     """DebeziumJsonSource.rejects() + the accepted feed partition the WAL
     exactly: junk lines surface for quarantine, never reach the replay."""
