@@ -351,7 +351,22 @@ def changes_as_debezium(
     this table with no new format. ``source.lsn`` carries the row's LWW
     ``lsn``; ``source.ts_us`` its event time — replaying the emitted
     stream through :func:`from_debezium` + LWW lands the same winners.
+
+    Row-mode tables only: on a patch table a per-column winner can
+    change state WITHOUT advancing the row's max (ts, lsn) — the exact
+    scenario patch mode exists for — so an LWW consumer of the
+    re-emitted feed would skip that event as a stale tie and silently
+    diverge. Refused up front, same policy as merge.py
+    ``_require_row_mode``.
     """
+    if table.manifest.get("conflict") == "patch":
+        raise ValueError(
+            f"changes_as_debezium: table {table.path!r} has "
+            "conflict='patch'; a per-column winner can change state "
+            "without advancing the row's (ts, lsn), so an LWW consumer "
+            "of the re-emitted feed would silently diverge — consume "
+            "the patch CDF (table.changes) directly instead"
+        )
     ch = table.changes(from_version, to_version, pre_images=True)
     key = list(table.manifest["key"])
     order = list(table.manifest.get("resolve_order", ["ts", "lsn"]))

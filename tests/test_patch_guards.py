@@ -75,6 +75,17 @@ def test_merge_batch_refuses_patch_table(spark, patch_table):
         merge_batch(table, chunk, "row-mode-batch")
 
 
+def test_changes_as_debezium_refuses_patch_table(spark, patch_table):
+    """A per-column winner can change state without advancing the row's
+    (ts, lsn); an LWW consumer of the re-emitted feed would skip it as a
+    stale tie and silently diverge — refuse, don't emit."""
+    from pasar_spark.cdc.debezium import changes_as_debezium
+
+    _, table = patch_table
+    with pytest.raises(ValueError, match="conflict='patch'"):
+        changes_as_debezium(table, 0)
+
+
 def test_row_bootstrap_refuses_patch_table(spark, patch_table):
     runner, table = patch_table
     with pytest.raises(ValueError, match="PatchReplayRunner"):
