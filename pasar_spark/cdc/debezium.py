@@ -96,9 +96,11 @@ _ENVELOPE = T.StructType([T.StructField("payload", _PAYLOAD), *_PAYLOAD.fields])
 _PARSE_SEQ = 0
 
 
-def _event(value_col: str):
-    """Parsed event struct: wrapped framing unpacked, bare passed through."""
-    p = F.from_json(F.col(value_col), _ENVELOPE)
+def _unwrap(p):
+    """Kafka-Connect framing unpacked, bare payload passed through —
+    the ONE definition of the envelope unwrap, shared by from_debezium
+    and debezium_rejects so their accept/reject split cannot
+    desynchronize."""
     return F.when(p["payload"].isNotNull(), p["payload"]).otherwise(
         F.struct(
             p["before"].alias("before"),
@@ -108,6 +110,11 @@ def _event(value_col: str):
             p["source"].alias("source"),
         )
     )
+
+
+def _event(value_col: str):
+    """Parsed event struct from a raw JSON column."""
+    return _unwrap(F.from_json(F.col(value_col), _ENVELOPE))
 
 
 def _accepted(ev):
@@ -156,21 +163,7 @@ def from_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
         # may parse two independent debezium feeds (e.g. source + CDF)
         f"dbz_parse_{_PARSE_SEQ}",
         F.count(F.lit(1)).alias("lines"),
-    ).select(
-        F.when(
-            F.col("_p")["payload"].isNotNull(), F.col("_p")["payload"]
-        )
-        .otherwise(
-            F.struct(
-                F.col("_p")["before"].alias("before"),
-                F.col("_p")["after"].alias("after"),
-                F.col("_p")["op"].alias("op"),
-                F.col("_p")["ts_ms"].alias("ts_ms"),
-                F.col("_p")["source"].alias("source"),
-            )
-        )
-        .alias("_e")
-    )
+    ).select(_unwrap(F.col("_p")).alias("_e"))
     ev = F.col("_e")
     img = F.coalesce(ev["after"], ev["before"])  # d carries only before
     is_del = ev["op"] == "d"
@@ -375,6 +368,16 @@ def changes_as_debezium(
         for c in table.schema.names()
         if c not in set(key) | set(order) | {"_tombstone"}
     ]
+    # Evolution-promoted columns are NOT in the fixed wire row image —
+    # they ride the ``extra`` JSON (exactly how they arrived pre-
+    # promotion), with the emitted schema_ver telling a consumer running
+    # the same EvolutionPlan to re-promote them. Rendering them as
+    # top-level after-image fields instead would make from_json silently
+    # drop them at every consumer.
+    wire_names = {f.name for f in _ROW_IMAGE.fields}
+    evolved = [c for c in payload if c not in wire_names]
+    envelope_payload = [c for c in payload if c in wire_names and c != "extra"]
+    has_extra = "extra" in payload
     is_del = F.col("_change_type") == "delete"
     is_ins = F.col("_change_type") == "insert"
 
@@ -387,10 +390,54 @@ def changes_as_debezium(
 
         cols = [src(k).alias(k) for k in key]
         cols += [F.unix_micros(src("ts")).alias("ts")]
-        cols += [src(c).alias(c) for c in payload]
+        cols += [src(c).alias(c) for c in envelope_payload]
+        if evolved:
+            # merge evolved column values over the stored extra keys
+            # (evolved wins — post-promotion updates write the column,
+            # not the JSON); keys made disjoint before map_concat so the
+            # default EXCEPTION dedup policy cannot trip
+            ev_map = F.map_from_arrays(
+                F.array(*[F.lit(n) for n in evolved]),
+                F.array(*[src(n).cast("string") for n in evolved]),
+            )
+            stored = (
+                F.coalesce(
+                    F.from_json(src("extra"), "map<string,string>"),
+                    F.map_from_arrays(F.array(), F.array()),
+                )
+                if has_extra
+                else F.map_from_arrays(F.array(), F.array())
+            )
+            kept = F.map_filter(
+                stored, lambda k, _v: ~k.isin(*[F.lit(n) for n in evolved])
+            )
+            cols += [F.to_json(F.map_concat(kept, ev_map)).alias("extra")]
+        elif has_extra:
+            cols += [src("extra").alias("extra")]
         cols += [F.lit(table.schema.schema_id).alias("schema_ver")]
         return F.struct(*cols)
 
+    # The change's position. A delete whose tombstone was vacuumed
+    # inside the version range carries null own (ts, lsn) in the CDF;
+    # re-emitting it at the PRE-image's position would tie with the row
+    # it kills and lose the consumer's strict-greater LWW comparison.
+    # Synthesize (prev_ts, to-version ledger last_lsn): per-key it is
+    # strictly after the victim (the original tombstone's lsn was
+    # > prev_lsn, and last_lsn >= that tombstone's lsn), and feed-wide
+    # it is >= every position an earlier CDF hop emitted, so a
+    # CHECKPOINTED consumer (whose replay window opens past its applied
+    # last_lsn) still sees the delete — prev_lsn + 1 would land below
+    # the checkpoint and be silently skipped.
+    to_tbl = (
+        table
+        if to_version is None
+        else type(table).load(table.spark, table.path, version=to_version)
+    )
+    synth_lsn = F.greatest(
+        F.col("_prev_lsn") + 1, F.lit(int(to_tbl.manifest["ledger"]["last_lsn"]))
+    )
+    pos_ts = F.coalesce(F.col("ts"), F.col("_prev_ts"))
+    pos_lsn = F.coalesce(F.col("lsn"), synth_lsn)
     payload = F.struct(
         F.when(~is_ins, image("_prev_")).alias("before"),
         F.when(~is_del, image("")).alias("after"),
@@ -398,17 +445,11 @@ def changes_as_debezium(
         .when(is_ins, F.lit("c"))
         .otherwise(F.lit("u"))
         .alias("op"),
-        (F.unix_micros(F.coalesce(F.col("ts"), F.col("_prev_ts"))) / 1000)
-        .cast("long")
-        .alias("ts_ms"),
+        (F.unix_micros(pos_ts) / 1000).cast("long").alias("ts_ms"),
         F.struct(
-            F.coalesce(F.col("lsn"), F.col("_prev_lsn")).alias("lsn"),
-            (F.unix_micros(F.coalesce(F.col("ts"), F.col("_prev_ts"))) / 1000)
-            .cast("long")
-            .alias("ts_ms"),
-            F.unix_micros(F.coalesce(F.col("ts"), F.col("_prev_ts"))).alias(
-                "ts_us"
-            ),
+            pos_lsn.alias("lsn"),
+            (F.unix_micros(pos_ts) / 1000).cast("long").alias("ts_ms"),
+            F.unix_micros(pos_ts).alias("ts_us"),
         ).alias("source"),
     )
     return ch.select(F.to_json(payload).alias("value"))

@@ -1016,6 +1016,26 @@ class LakeTable:
                 keep.add(v)
                 with open(self._manifest_path(self.path, v)) as fh:
                     v = json.load(fh)["parent_version"]
+        # min_age_sec guards IN-FLIGHT MANIFESTS too, not just data
+        # files — but only those numbered PAST the current head: a
+        # writer links its manifest before flipping CURRENT (and a stage
+        # writes its manifest before the STAGED pointer lands), so a
+        # young above-head manifest may be a commit in its publish
+        # window; expiring it would leave the imminent CURRENT/STAGED
+        # pointer dangling and forecloses crash repair's roll-forward.
+        # At or below head, an off-chain manifest is a lost-race fork
+        # whose writer already rebased — normal reclaim. Same knob, same
+        # reasoning as the orphan-file age check below.
+        now = _time.time()
+        for v in versions:
+            if v in keep or v <= head:
+                continue
+            try:
+                age = now - os.path.getmtime(self._manifest_path(self.path, v))
+            except FileNotFoundError:
+                continue
+            if age < min_age_sec:
+                keep.add(v)
         referenced: set[str] = set()
         for v in keep:
             with open(self._manifest_path(self.path, v)) as fh:

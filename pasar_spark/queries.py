@@ -33,6 +33,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 # coverage a registered query subsumes; they stay oracle-checked in
 # pytest (tests/test_retired_oracles.py) so the evidence never lapses.
 _RETIRED: dict[str, tuple[QueryFn, str | None]] = {}
+# csv-roundtrip session temp dirs already scheduled for atexit cleanup
+_CSV_TMP_CLEANUPS: set[str] = set()
 
 
 def register(name: str, sql: str | None):
@@ -1216,13 +1218,21 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stable path keyed by sf_dir AND Spark application id: repeated
     # runs in ONE session reuse the dir (no mkdtemp leak per call), and
     # two concurrent sessions on one box can never clobber each other's
-    # in-flight write (ADVICE r3)
-    path = os.path.join(
+    # in-flight write (ADVICE r3). The per-session dir is reclaimed at
+    # interpreter exit so long-lived boxes don't accumulate one copy of
+    # the TSV per session.
+    session_root = os.path.join(
         tempfile.gettempdir(),
         "pasar_csv_roundtrip",
         sf_dir.strip("/").replace("/", "_") + "-" + spark.sparkContext.applicationId,
-        "nation_tsv",
     )
+    if session_root not in _CSV_TMP_CLEANUPS:
+        import atexit
+        import shutil
+
+        _CSV_TMP_CLEANUPS.add(session_root)
+        atexit.register(shutil.rmtree, session_root, ignore_errors=True)
+    path = os.path.join(session_root, "nation_tsv")
     n.write.mode("overwrite").option("sep", "\t").option("header", True).option(
         "quote", '"'
     ).csv(path)

@@ -122,33 +122,42 @@ class StreamingIngest:
         table = LakeTable.load(self.spark, self.table_path)
         if table.has_batch(batch_id):
             return  # redelivered epoch after a checkpoint/commit race
+        raw = None
         if self.wire_format == "debezium-json":
             from pasar_spark.cdc.debezium import debezium_rejects, from_debezium
 
+            # the raw epoch is consumed 2-3 times (DLQ split, schema-ver
+            # probe, merge) — persist it so the JSON parse runs once per
+            # line, not once per action
+            raw = batch_df.persist()
             if self.dlq_path is not None:
-                debezium_rejects(batch_df, "value").write.mode("overwrite").text(
+                debezium_rejects(raw, "value").write.mode("overwrite").text(
                     f"{self.dlq_path}/epoch={epoch_id}"
                 )
-            batch_df = from_debezium(batch_df, "value")
-        if self.evolution_plan.steps:
-            ver = max_schema_ver(batch_df)
-            if ver > table.manifest["ledger"].get("feed_schema_ver", 0):
-                table = self.evolution_plan.apply_up_to(table, ver)
-        batch_df = promote_extra(batch_df, table)
-        if self.audit_checks is not None:
-            from pasar_spark.cdc.wap import write_audit_publish
+            batch_df = from_debezium(raw, "value")
+        try:
+            if self.evolution_plan.steps:
+                ver = max_schema_ver(batch_df)
+                if ver > table.manifest["ledger"].get("feed_schema_ver", 0):
+                    table = self.evolution_plan.apply_up_to(table, ver)
+            batch_df = promote_extra(batch_df, table)
+            if self.audit_checks is not None:
+                from pasar_spark.cdc.wap import write_audit_publish
 
-            table, _, _ = write_audit_publish(
-                table, batch_df, batch_id, checks=self.audit_checks,
-                normalizer=self.normalizer, mode=self.merge_mode,
-            )
-        else:
-            table, _ = merge_batch(
-                table, batch_df, batch_id,
-                normalizer=self.normalizer, mode=self.merge_mode,
-            )
-        if self.merge_mode == "mor":
-            compact_buckets(table, min_files=self.compact_min_files)
+                table, _, _ = write_audit_publish(
+                    table, batch_df, batch_id, checks=self.audit_checks,
+                    normalizer=self.normalizer, mode=self.merge_mode,
+                )
+            else:
+                table, _ = merge_batch(
+                    table, batch_df, batch_id,
+                    normalizer=self.normalizer, mode=self.merge_mode,
+                )
+            if self.merge_mode == "mor":
+                compact_buckets(table, min_files=self.compact_min_files)
+        finally:
+            if raw is not None:
+                raw.unpersist()
 
     def _start(self, **trigger):
         import os

@@ -110,6 +110,81 @@ def test_debezium_wal_replay_matches_native_feed(spark, tmp_path, cache):
     assert a == b and len(a) > 0
 
 
+def test_vacuumed_tombstone_delete_still_converges_consumer(spark, tmp_path):
+    """A delete whose tombstone was VACUUMED inside the CDF range has no
+    own (ts, lsn); the producer must synthesize a position strictly
+    after the pre-image or the consumer's strict-greater LWW comparison
+    skips the delete as a stale tie and the key survives downstream."""
+    from pasar_spark.cdc.merge import vacuum_tombstones
+    from pasar_spark.cdc.runner import bootstrap_table
+
+    path = str(tmp_path / "src")
+    v0 = bootstrap_table(spark, path, n_buckets=2).version
+    base = spark.createDataFrame(
+        [(f"k{i}", 0, "I", f"2025-01-01 00:00:{i:02d}", i, "user", f"t{i}", None)
+         for i in range(6)],
+        "conv_id string, turn_idx int, op string, ts_s string, lsn bigint,"
+        " role string, text string, tool string",
+    ).withColumn("ts", F.expr("cast(ts_s as timestamp)")).drop("ts_s")
+    t1 = ReplayRunner(spark, path, n_buckets=2, chunk_size=1 << 30).replay(
+        DataFrameSource(base)
+    )
+    v1 = t1.version
+    dele = spark.createDataFrame(
+        [("k0", 0, "D", "2025-01-02 00:00:00", 20, None, None, None)],
+        "conv_id string, turn_idx int, op string, ts_s string, lsn bigint,"
+        " role string, text string, tool string",
+    ).withColumn("ts", F.expr("cast(ts_s as timestamp)")).drop("ts_s")
+    t2 = ReplayRunner(spark, path, n_buckets=2, chunk_size=1 << 30).replay(
+        DataFrameSource(dele)
+    )
+    t3, _ = vacuum_tombstones(t2, horizon_lsn=100)
+    # precondition: the CDF really lost the tombstone's own position
+    ch = t3.changes(v1)
+    assert ch.where("_change_type = 'delete' AND lsn IS NULL").count() == 1
+
+    dst = str(tmp_path / "dst")
+    ReplayRunner(spark, dst, n_buckets=2, chunk_size=1 << 30).replay(
+        DataFrameSource(
+            from_debezium(changes_as_debezium(t3, v0, v1), "value")
+        )
+    )
+    consumer = ReplayRunner(spark, dst, n_buckets=2, chunk_size=1 << 30).replay(
+        DataFrameSource(from_debezium(changes_as_debezium(t3, v1), "value"))
+    )
+    got = sorted(r.conv_id for r in consumer.read().collect())
+    want = sorted(r.conv_id for r in t3.read().collect())
+    assert got == want and "k0" not in got and len(got) == 5
+
+
+def test_evolved_columns_ride_extra_and_consumer_converges(spark, tmp_path):
+    """Evolution-promoted columns are NOT in the fixed wire row image —
+    they travel in the extra JSON with the emitted schema_ver, and a
+    consumer running the same EvolutionPlan re-promotes them. Proves a
+    post-evolution table can still be tailed losslessly."""
+    from pasar_spark.cdc.runner import bootstrap_table
+    from pasar_spark.cdc.schema_evolution import EvolutionPlan
+
+    plan = EvolutionPlan(steps={1: [("add", "sentiment", "int")]})
+    ev_all = change_events(spark, 4_000, n_convs=60, seed=7, evolution_lsn=1_000)
+    path = str(tmp_path / "src")
+    v0 = bootstrap_table(spark, path, n_buckets=4).version
+    t = ReplayRunner(
+        spark, path, n_buckets=4, chunk_size=1_500, evolution_plan=plan
+    ).replay(DataFrameSource(ev_all))
+    assert "sentiment" in t.schema.names()
+    assert t.read().where("sentiment IS NOT NULL").count() > 0
+
+    consumer = ReplayRunner(
+        spark, str(tmp_path / "dst"), n_buckets=4, chunk_size=1 << 30,
+        evolution_plan=plan,
+    ).replay(DataFrameSource(from_debezium(changes_as_debezium(t, v0), "value")))
+    cols = ["conv_id", "turn_idx", "text", "sentiment"]
+    a = sorted(tuple(r) for r in t.read().select(*cols).collect())
+    b = sorted(tuple(r) for r in consumer.read().select(*cols).collect())
+    assert a == b and len(a) > 0
+
+
 def test_debezium_replay_resumes_after_crash(spark, tmp_path):
     """Kill the replay after one chunk, resume with a fresh runner over
     the SAME JSON WAL: the ledger's exactly-once argument is

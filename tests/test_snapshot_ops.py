@@ -339,3 +339,29 @@ def test_poll_changes_tails_the_feed(spark, tmp_path):
     # consumer is caught up again
     df, v4 = LakeTable.poll_changes(spark, tbl, v3)
     assert df is None and v4 == v3
+
+
+def test_expire_min_age_protects_inflight_manifests(spark, halves):
+    """A manifest linked but not yet flipped onto CURRENT (or whose
+    STAGED pointer hasn't landed) is a commit mid-publish, not garbage:
+    min_age_sec must shield it from expiry — same in-flight guard the
+    orphan-file age check provides — so crash repair can still roll it
+    forward. Age zero (the default) keeps today's reclaim-everything
+    behavior."""
+    import json as _json
+
+    tbl, v1, t2 = halves
+    # simulate a linked-but-unflipped commit: an off-chain manifest
+    # numbered past CURRENT with parent = CURRENT
+    orphan_v = t2.version + 7
+    m = _json.loads(_json.dumps(t2.manifest))
+    m["parent_version"] = t2.version
+    path = LakeTable._manifest_path(tbl, orphan_v)
+    with open(path, "w") as fh:
+        _json.dump(m, fh)
+
+    t2.expire_snapshots(keep_last=1, min_age_sec=3600)
+    assert os.path.exists(path)  # young: protected
+
+    t2.expire_snapshots(keep_last=1, min_age_sec=0)
+    assert not os.path.exists(path)  # aged out (or age guard off): reclaimed
