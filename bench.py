@@ -167,6 +167,10 @@ def main():
     import pasar_spark.queries_docs  # noqa: F401
 
     registry = q.queries()
+    # EVERY registry query is measured (regressions in the sub-second
+    # tail were invisible through r4); the headline BENCH_QUERIES go on
+    # the driver-facing line, the rest only into the detail sidecar.
+    all_names = BENCH_QUERIES + sorted(set(registry) - set(BENCH_QUERIES))
     times: dict[str, float] = {}
     times_median: dict[str, float] = {}
     # Steady-state methodology: one warmup run per query (absorbs JVM JIT
@@ -179,9 +183,9 @@ def main():
     # recorded number now takes the best (and reports the median
     # alongside so a noisy window is visible in the artifact itself).
     n_reps = max(1, int(os.environ.get("PASAR_BENCH_REPS", "3")))
-    for name in BENCH_QUERIES:
+    for name in all_names:
         registry[name](spark, sf_dir).count()
-    for name in BENCH_QUERIES:
+    for name in all_names:
         fn = registry[name]
         reps = []
         for _ in range(n_reps):
@@ -191,20 +195,45 @@ def main():
         times[name] = round(min(reps), 3)
         times_median[name] = round(sorted(reps)[len(reps) // 2], 3)
 
+    # The driver records only the LAST 2000 chars of stdout; r4's single
+    # line grew past that (medians + methodology) and BENCH_r04.json
+    # recorded `parsed: null`. The line now carries only the headline
+    # queries' best times + a slim replay summary; medians, the full
+    # 50-query sweep, and methodology live in BENCH_detail.json.
+    detail = {
+        "queries_best": times,
+        "queries_median": times_median,
+        "headline_queries": BENCH_QUERIES,
+        "methodology": f"per-query: 1 warmup + best-of-{n_reps} (steady state); "
+        "replay: 1 warmup replay + best-of-2",
+        "replay_storage": "tmpfs" if workdir else "default-tmp",
+        "replay": replay,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "total_wall_sec": round(time.time() - total_t0, 2),
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"),
+        "w",
+    ) as fh:
+        json.dump(detail, fh, indent=1)
+
     out = {
         "metric": "cdc replay events/sec + query wall times",
         "value": round(time.time() - total_t0, 2),
         "unit": "sec",
-        "queries": times,
-        "queries_median": times_median,
-        "methodology": f"per-query: 1 warmup + best-of-{n_reps} (steady state); "
-        "replay: 1 warmup replay + best-of-2",
-        "replay_storage": "tmpfs" if workdir else "default-tmp",
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": {n: times[n] for n in BENCH_QUERIES},
+        "replay_events_per_sec": replay["events_per_sec"] if replay else None,
+        "sf": detail["sf"],
         "cpus": cpus,
-        "replay": replay,
+        "detail": "BENCH_detail.json",
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # hard gate on the consumer contract: the driver's tail buffer is
+    # 2000 chars — a line that outgrows it silently unparses the round's
+    # bench of record (exactly what happened to BENCH_r04)
+    assert len(line) < 1900, f"driver line {len(line)} chars >= 1900; slim it"
+    print(line)
     spark.stop()
     if workdir is not None:
         # tmpfs is RAM — leave nothing behind (shuffle dirs included)

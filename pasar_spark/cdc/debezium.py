@@ -37,7 +37,9 @@ Field mapping (faithful to Debezium 2.x semantics):
 - event time: ``after.ts`` is ``io.debezium.time.MicroTimestamp`` (epoch
   micros, the connector default for TIMESTAMP columns); deletes use
   ``source.ts_us`` (micros, Debezium >= 2.4) falling back to
-  ``source.ts_ms``.
+  ``source.ts_ms``. A c/r/u whose row image lacks ``ts`` takes the same
+  source-timestamp fallback, so connectors that emit only source
+  timestamps still order correctly under LWW.
 
 Reference parity: the reference ingests via a Postgres cursor over a
 staging schema (SURVEY.md S3; etl/pypasar/omop/observation.py:55-65) —
@@ -46,6 +48,8 @@ production pasar deployment would actually tail.
 """
 
 from __future__ import annotations
+
+import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -92,8 +96,11 @@ _PAYLOAD = T.StructType(
 _ENVELOPE = T.StructType([T.StructField("payload", _PAYLOAD), *_PAYLOAD.fields])
 
 # monotone suffix for from_debezium's observe-barrier names (must be
-# unique within any single query plan)
-_PARSE_SEQ = 0
+# unique within any single query plan). itertools.count consumes its
+# increment under the GIL in one bytecode-visible step via next(), so
+# two threads composing plans concurrently can never mint the same
+# observation name (a bare `global n; n += 1` read-modify-write can).
+_PARSE_SEQ = itertools.count(1)
 
 
 def _unwrap(p):
@@ -154,26 +161,29 @@ def from_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
     node is a collapse barrier Catalyst keeps, and the metric itself
     (lines parsed per pass) is genuinely useful.
     """
-    global _PARSE_SEQ
-    _PARSE_SEQ += 1
     unwrapped = df.select(
         F.from_json(F.col(value_col), _ENVELOPE).alias("_p")
     ).observe(
         # observation names must be unique within a query plan; a query
         # may parse two independent debezium feeds (e.g. source + CDF)
-        f"dbz_parse_{_PARSE_SEQ}",
+        f"dbz_parse_{next(_PARSE_SEQ)}",
         F.count(F.lit(1)).alias("lines"),
     ).select(_unwrap(F.col("_p")).alias("_e"))
     ev = F.col("_e")
     img = F.coalesce(ev["after"], ev["before"])  # d carries only before
     is_del = ev["op"] == "d"
-    ts = F.when(
-        is_del,
-        F.coalesce(
-            F.timestamp_micros(ev["source"]["ts_us"]),
-            F.timestamp_millis(F.coalesce(ev["source"]["ts_ms"], ev["ts_ms"])),
-        ),
-    ).otherwise(F.timestamp_micros(ev["after"]["ts"]))
+    # source-block timestamps: the only event time a delete carries, and
+    # the FALLBACK for c/r/u whose row image lacks ts (a connector that
+    # emits only source timestamps, or a table without an event-time
+    # column) — otherwise such an event lands with null ts and loses
+    # every (ts, lsn) LWW comparison, silently shadowed by older events.
+    src_ts = F.coalesce(
+        F.timestamp_micros(ev["source"]["ts_us"]),
+        F.timestamp_millis(F.coalesce(ev["source"]["ts_ms"], ev["ts_ms"])),
+    )
+    ts = F.when(is_del, src_ts).otherwise(
+        F.coalesce(F.timestamp_micros(ev["after"]["ts"]), src_ts)
+    )
     return (
         unwrapped.select(
             ev["source"]["lsn"].alias("lsn"),
@@ -358,7 +368,9 @@ def changes_as_debezium(
             "conflict='patch'; a per-column winner can change state "
             "without advancing the row's (ts, lsn), so an LWW consumer "
             "of the re-emitted feed would silently diverge — consume "
-            "the patch CDF (table.changes) directly instead"
+            "the patch CDF (table.changes) directly instead; see "
+            "README.md 'Connector tail (the table as a Debezium "
+            "producer)'"
         )
     ch = table.changes(from_version, to_version, pre_images=True)
     key = list(table.manifest["key"])

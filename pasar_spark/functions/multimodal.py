@@ -107,6 +107,16 @@ def _audio_feature(payload: bytes, strict: bool) -> str | None:
             )
     except Exception:
         if strict:
+            # a RIFF/WAVE-tagged payload that still failed to parse is
+            # CORRUPT DATA, not a missing codec — mislabeling it as the
+            # latter sends an operator hunting for ffmpeg instead of
+            # quarantining the row
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                raise ValueError(
+                    "corrupt or truncated WAV payload (RIFF/WAVE header "
+                    "present but the container failed to parse) — "
+                    "quarantine the row, this is a data-quality failure"
+                )
             raise NotImplementedError(
                 "non-WAV audio decode requires an ffmpeg-class codec; "
                 "not available in this environment"
@@ -329,9 +339,13 @@ def _real_frame_ref(av, payload: bytes, t_ms: int) -> str | None:
     try:
         with av.open(io.BytesIO(payload)) as container:
             stream = container.streams.video[0]
-            container.seek(
-                int(t_ms * 1000), backward=True, any_frame=False, stream=stream
-            )
+            # seek WITHOUT stream=: the offset is then in av.time_base
+            # (microseconds). With stream= it would be in
+            # stream.time_base units — t_ms*1000 only lands at the
+            # requested timestamp when that happens to be 1/1e6, so the
+            # stream-targeted form silently samples wrong frames on
+            # most codecs.
+            container.seek(int(t_ms * 1000), backward=True, any_frame=False)
             for frame in container.decode(stream):
                 planes = b"".join(bytes(p) for p in frame.planes)
                 return (

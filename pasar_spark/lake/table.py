@@ -950,7 +950,7 @@ class LakeTable:
     def expire_snapshots(
         self,
         keep_last: int = 2,
-        min_age_sec: float = 0.0,
+        min_age_sec: float = 300.0,
         staged_ttl_sec: float | None = None,
     ) -> dict:
         """Expire old snapshots and delete data files no retained snapshot
@@ -960,6 +960,13 @@ class LakeTable:
         younger than this is never deleted even if unreferenced, because
         an uncommitted write_files() in progress is unreferenced BY
         DESIGN until its commit lands (Iceberg's orphan-file age check).
+        The default (300 s) assumes live writers may exist — the safe
+        posture for a shared table, where an expire racing a commit's
+        link→flip window (or a stage's manifest→STAGED-pointer window)
+        must not reclaim the young manifest/files it is about to
+        publish. Pass ``min_age_sec=0`` ONLY when you know no writer is
+        in flight (single-process maintenance, tests): at 0 both the
+        orphan-file guard and the above-head manifest guard are inert.
 
         Time travel / changes() to expired versions stops working — that
         is the storage-reclaim trade every lakehouse makes; run with a

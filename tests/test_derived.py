@@ -201,7 +201,7 @@ def test_refresh_falls_back_to_full_when_cdf_expired(spark, pipeline):
 
     # source advances several versions, then retention drops v{frm}
     src = runner.replay(wal)
-    src.expire_snapshots(keep_last=1)
+    src.expire_snapshots(keep_last=1, min_age_sec=0.0)  # no writer in flight
     assert not os.path.exists(LakeTable._manifest_path(src.path, frm))
 
     der, info = stats.refresh()

@@ -43,7 +43,7 @@ def test_sixteen_chunk_chain_with_vacuum_and_expiry(spark, tmp_path):
                 table, horizon_lsn=table.last_lsn - MAX_JITTER_S
             )
             vacuumed_buckets += vstats.get("vacuumed_buckets", 0)
-            table.expire_snapshots(keep_last=4)
+            table.expire_snapshots(keep_last=4, min_age_sec=0.0)
     assert n_chunks >= 16
     # maintenance actually did something: tombstones were reclaimed and
     # old snapshots expired (the chain doesn't grow unboundedly)

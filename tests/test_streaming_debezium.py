@@ -149,3 +149,51 @@ def test_debezium_stream_starts_on_empty_wal(spark, tmp_path):
         .replay(DataFrameSource(ev))
     )
     assert _state(t1) == _state(want) and len(_state(t1)) > 0
+
+
+def test_from_debezium_composes_with_public_readstream(spark, tmp_path):
+    """The composition a Kafka consumer actually writes:
+    ``readStream`` (one ``value string`` column — the post-
+    ``CAST(value AS STRING)`` Kafka wire shape) -> :func:`from_debezium`
+    applied to the STREAMING DataFrame -> ``foreachBatch`` into the merge
+    core. No Kafka plugin ships in this sandbox, so a text-file stream
+    stands in; the decode-and-merge plan is identical because both
+    sources present the same single-column wire schema. This pins the
+    PUBLIC seam (decode inside the streaming plan, including the
+    observe barrier on a streaming Dataset), not StreamingIngest's
+    internal wire_format path, which the other tests already cover."""
+    from pasar_spark.cdc.debezium import from_debezium
+    from pasar_spark.cdc.merge import merge_batch
+    from pasar_spark.cdc.runner import bootstrap_table
+    from pasar_spark.lake.table import LakeTable
+
+    wal = str(tmp_path / "wire")
+    ev = change_events(spark, 4_000, n_convs=80, seed=91)
+    _ship(spark, ev, wal, JUNK_A)
+
+    table_path = str(tmp_path / "tbl")
+    bootstrap_table(spark, table_path, 4)
+
+    # exactly what a Kafka deployment writes, modulo .format("kafka")
+    wire = spark.readStream.text(wal)
+    decoded = from_debezium(wire, "value")
+
+    def apply(batch_df, epoch_id):
+        t = LakeTable.load(spark, table_path)
+        bid = f"kafka-{epoch_id}"
+        if not t.has_batch(bid):
+            merge_batch(t, batch_df, bid)
+
+    q = (
+        decoded.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    want = ReplayRunner(
+        spark, str(tmp_path / "b"), n_buckets=4, chunk_size=2_000
+    ).replay(DataFrameSource(ev))
+    got = LakeTable.load(spark, table_path)
+    assert _state(got) == _state(want) and len(_state(got)) > 0
