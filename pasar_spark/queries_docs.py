@@ -292,10 +292,16 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the fingerprint value — no all-pairs stage. Oracle:
     the same extraction over the engine's persisted fingerprint fixture
     (sf0.01 corpus; xxhash64 is not reproducible in DuckDB)."""
+    from pyspark import StorageLevel
+
     c = _with_copies(load(spark, sf_dir, "documents"))
+    # persist the extracted fingerprints: the boilerplate counts and BOTH
+    # sides of the pairing self-join read them — without the persist the
+    # corpus scan + winnow extraction runs 3x (same cut-point reasoning
+    # as minhash_lsh_pairs' shingle stage, similarity.py)
     fps = c.select(
         "doc_id", F.explode(T.winnow_fingerprints(F.col("text"), 5, 4)).alias("fp")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     counts = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("_n"))
     # broadcast the BOILERPLATE set (small by definition) and anti-join;
     # broadcasting the rare side would ship nearly the whole fp space
