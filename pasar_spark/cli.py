@@ -151,6 +151,11 @@ def cmd_stream(args) -> int:
     from pasar_spark.streaming.stream import StreamingIngest
 
     spark = _spark(args)
+    followers = []
+    if args.derived:
+        from pasar_spark.cdc.derived import DerivedConvStats
+
+        followers.append(DerivedConvStats(spark, args.table, args.derived))
     ingest = StreamingIngest(
         spark,
         args.table,
@@ -160,6 +165,7 @@ def cmd_stream(args) -> int:
         merge_mode=args.mode,
         wire_format=args.wire_format,
         dlq_path=args.dlq,
+        followers=followers,
     )
     if args.live:
         # production live tail: processingTime trigger; --duration bounds
@@ -378,6 +384,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--dlq",
         default=None,
         help="quarantine dir for non-row-change lines (debezium-json only)",
+    )
+    s.add_argument(
+        "--derived",
+        default=None,
+        help="maintain a per-conversation stats table at this path, "
+        "incrementally refreshed from the CDF inside every epoch",
     )
     s.set_defaults(fn=cmd_stream)
 

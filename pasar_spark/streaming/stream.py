@@ -77,6 +77,7 @@ class StreamingIngest:
         schema: StructType | None = None,
         wire_format: str = "parquet",
         dlq_path: str | None = None,
+        followers: list | None = None,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -113,6 +114,16 @@ class StreamingIngest:
         # rather than duplicates its rejects — same idempotence argument
         # as the ledger. None drops rejects silently.
         self.dlq_path = dlq_path
+        # downstream incremental consumers (anything with a .refresh()
+        # that folds the table's CDF, e.g. cdc.derived.DerivedConvStats):
+        # refreshed inside every epoch AFTER the source commit, so a
+        # derived dashboard table tracks the live tail with at most one
+        # epoch of lag. Exactly-once composes: a follower's refresh is
+        # idempotent via its own source-version-keyed batch id, and it
+        # folds ALL unconsumed source versions (not just this epoch's),
+        # so a crash anywhere between the source commit and the last
+        # follower's commit heals on the next delivery.
+        self.followers = list(followers) if followers else []
 
     def bootstrap(self) -> LakeTable:
         return bootstrap_table(self.spark, self.table_path, self.n_buckets)
@@ -121,7 +132,12 @@ class StreamingIngest:
         batch_id = f"stream-{epoch_id}"
         table = LakeTable.load(self.spark, self.table_path)
         if table.has_batch(batch_id):
-            return  # redelivered epoch after a checkpoint/commit race
+            # redelivered epoch after a checkpoint/commit race: the source
+            # merge is a ledger no-op, but followers still refresh — the
+            # crash may have landed BETWEEN the source commit and a
+            # follower's commit, and this redelivery is what heals them.
+            self._refresh_followers()
+            return
         raw = None
         if self.wire_format == "debezium-json":
             from pasar_spark.cdc.debezium import debezium_rejects, from_debezium
@@ -155,9 +171,20 @@ class StreamingIngest:
                 )
             if self.merge_mode == "mor":
                 compact_buckets(table, min_files=self.compact_min_files)
+            self._refresh_followers()
         finally:
             if raw is not None:
                 raw.unpersist()
+
+    def _refresh_followers(self) -> None:
+        """Advance each registered incremental consumer to the source
+        head. Runs inside the epoch (driver-side, like foreachBatch
+        itself); a raising follower fails the epoch AFTER the source
+        commit, so the stream stops, restart redelivers the epoch, the
+        source merge no-ops, and the follower retries — at-least-once
+        refresh on top of an idempotent fold = exactly-once."""
+        for f in self.followers:
+            f.refresh()
 
     def _start(self, **trigger):
         import os
@@ -198,9 +225,13 @@ class StreamingIngest:
 
     def run_available_now(self):
         """Drain everything currently in the WAL dir, then stop — the
-        bounded trigger (catch-up / test runs)."""
+        bounded trigger (catch-up / test runs). Post-condition with
+        followers: they are caught up to the source HEAD, even when the
+        drain fired zero epochs (e.g. out-of-band source commits since
+        the last drain — compaction, another writer)."""
         q = self._start(availableNow=True)
         q.awaitTermination()
+        self._refresh_followers()
         return LakeTable.load(self.spark, self.table_path)
 
     def start(self, processing_time: str = "1 second"):
