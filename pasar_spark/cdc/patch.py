@@ -287,11 +287,18 @@ class PatchStreamingIngest:
         checkpoint_path: str,
         max_files_per_trigger: int | None = None,
         schema=None,
+        followers: list | None = None,
     ):
         self.runner = runner
         self.wal_path = wal_path
         self.checkpoint_path = checkpoint_path
         self.max_files_per_trigger = max_files_per_trigger
+        # downstream incremental consumers with a .refresh() keyed on
+        # consumed source versions (cdc/derived.py works unchanged over a
+        # patch source — its materialized view gives the same pre/post
+        # images) — same epoch-embedded refresh + redelivery-heal
+        # contract as streaming/stream.py followers
+        self.followers = list(followers) if followers else []
         # pinned WAL envelope schema (patch feeds carry feed-specific
         # payload columns, so the pin comes from the caller's feed
         # registry); None infers from current WAL contents, which
@@ -302,6 +309,8 @@ class PatchStreamingIngest:
         table = LakeTable.load(self.runner.spark, self.runner.table_path)
         table = merge_patch_chunk(table, batch_df, f"patch-stream-{epoch_id}")
         self.runner._compact(table)
+        for f in self.followers:
+            f.refresh()
 
     def run_available_now(self) -> LakeTable:
         import os
@@ -322,4 +331,6 @@ class PatchStreamingIngest:
             .start()
         )
         q.awaitTermination()
+        for f in self.followers:
+            f.refresh()  # zero-epoch drains still catch followers up
         return LakeTable.load(self.runner.spark, self.runner.table_path)
