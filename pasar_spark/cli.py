@@ -155,7 +155,11 @@ def cmd_stream(args) -> int:
     if args.derived:
         from pasar_spark.cdc.derived import DerivedConvStats
 
-        followers.append(DerivedConvStats(spark, args.table, args.derived))
+        followers.append(
+            DerivedConvStats(
+                spark, args.table, args.derived, n_buckets=args.buckets
+            )
+        )
     ingest = StreamingIngest(
         spark,
         args.table,

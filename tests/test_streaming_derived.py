@@ -164,6 +164,40 @@ def test_follower_over_patch_streaming_tail(spark, tmp_path):
     assert der.source_offset(_SRC) == t2.version
 
 
+def test_cli_stream_derived_honors_buckets(spark, tmp_path, capsys):
+    """Regression: the CLI stream path passed --buckets to the source
+    table but let the --derived follower fall back to the default 16, so
+    a ``--buckets 4 --derived ...`` run minted a derived table bucketed
+    differently from every other table in the deployment."""
+    import json as _json
+
+    from pasar_spark.cli import main
+
+    wal = str(tmp_path / "wal")
+    write_change_log(
+        change_events(spark, 2_000, n_convs=40, seed=95, delete_fraction=0.1),
+        wal, n_files=2,
+    )
+    rc = main([
+        "stream",
+        "--table", str(tmp_path / "tbl"),
+        "--wal", wal,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--buckets", "4",
+        "--derived", str(tmp_path / "derived"),
+    ])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["last_lsn"] >= 0
+    der = LakeTable.load(spark, str(tmp_path / "derived"))
+    assert len(der.manifest["buckets"]) == 4
+    src = LakeTable.load(spark, str(tmp_path / "tbl"))
+    stats = DerivedConvStats(
+        spark, str(tmp_path / "tbl"), str(tmp_path / "derived"), n_buckets=4
+    )
+    assert _state(stats) == _oracle(src)
+
+
 def test_zero_epoch_drain_catches_up_out_of_band_commits(spark, tmp_path):
     """run_available_now's post-condition: followers sit at the source
     HEAD even when the drain fired zero epochs — e.g. another writer
