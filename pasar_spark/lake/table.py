@@ -982,13 +982,19 @@ class LakeTable:
         import time as _time
 
         meta = os.path.join(self.path, "metadata")
+        # versions whose STAGED pointer this call TTL-drops: their
+        # publish window provably ENDED (the pointer landed — manifests
+        # are written before pointers — and then aged past the TTL), so
+        # the min_age above-head manifest guard must not resurrect them
+        ttl_dropped: set[int] = set()
         if staged_ttl_sec is not None:
             now = _time.time()
-            for name in list(self.staged_refs()):
+            for name, sv in list(self.staged_refs().items()):
                 ptr = self._staged_pointer(self.path, name)
                 try:
                     if now - os.path.getmtime(ptr) > staged_ttl_sec:
                         os.remove(ptr)
+                        ttl_dropped.add(sv)
                 except FileNotFoundError:
                     pass  # published/discarded concurrently
         versions = sorted(
@@ -1033,9 +1039,19 @@ class LakeTable:
         # At or below head, an off-chain manifest is a lost-race fork
         # whose writer already rebased — normal reclaim. Same knob, same
         # reasoning as the orphan-file age check below.
+        # ... except the chains of stages TTL-dropped above: those
+        # manifests' pointers landed and aged out, so they are past any
+        # publish window by construction — reclaim regardless of mtime
+        exempt: set[int] = set()
+        for sv in ttl_dropped:
+            v = sv
+            while v in vset and v > head and v not in exempt and v not in keep:
+                exempt.add(v)
+                with open(self._manifest_path(self.path, v)) as fh:
+                    v = json.load(fh)["parent_version"]
         now = _time.time()
         for v in versions:
-            if v in keep or v <= head:
+            if v in keep or v <= head or v in exempt:
                 continue
             try:
                 age = now - os.path.getmtime(self._manifest_path(self.path, v))
