@@ -160,6 +160,10 @@ def cmd_stream(args) -> int:
                 spark, args.table, args.derived, n_buckets=args.buckets
             )
         )
+    if args.export_dest:
+        from pasar_spark.lake.export import ExportFollower
+
+        followers.append(ExportFollower(spark, args.table, args.export_dest))
     ingest = StreamingIngest(
         spark,
         args.table,
@@ -271,6 +275,40 @@ def cmd_rebucket(args) -> int:
     spark = _spark(args)
     t = _load_table(spark, args.table).rebucket(args.buckets)
     print(json.dumps({"table": args.table, "version": t.version, "n_buckets": args.buckets}))
+    return 0
+
+
+def cmd_export(args) -> int:
+    from pasar_spark.lake.export import expire_exports, export_snapshot
+
+    spark = _spark(args)
+    t = _load_table(spark, args.table)
+    s = export_snapshot(t, args.dest, incremental=not args.full)
+    if args.keep is not None:
+        s["expired_versions"] = expire_exports(args.dest, keep=args.keep)
+    s["glob"] = f"{s['path']}/*/*.parquet"
+    print(json.dumps({"table": args.table, **s}))
+    return 0
+
+
+def cmd_import(args) -> int:
+    from pasar_spark.lake.export import import_snapshot
+
+    spark = _spark(args)
+    t = import_snapshot(
+        spark, args.dest, args.table, n_buckets=args.buckets
+    )
+    print(
+        json.dumps(
+            {
+                "table": args.table,
+                "version": t.version,
+                "last_lsn": t.last_lsn,
+                "resume": "replay/stream the WAL against this table; "
+                f"it continues from lsn {t.last_lsn + 1}",
+            }
+        )
+    )
     return 0
 
 
@@ -395,6 +433,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="maintain a per-conversation stats table at this path, "
         "incrementally refreshed from the CDF inside every epoch",
     )
+    s.add_argument(
+        "--export-dest",
+        default=None,
+        help="keep a plain-parquet export at this path fresh inside every "
+        "epoch (incremental republish; external engines read it live)",
+    )
     s.set_defaults(fn=cmd_stream)
 
     c = sub.add_parser("compact", help="fold MoR delta files")
@@ -451,6 +495,27 @@ def build_parser() -> argparse.ArgumentParser:
     dv.add_argument("--table", required=True, help="derived aggregate table path")
     dv.add_argument("--buckets", type=int, default=16)
     dv.set_defaults(fn=cmd_derive)
+
+    xp = sub.add_parser(
+        "export",
+        help="publish the resolved snapshot as plain parquet for external "
+        "engines (incremental: changed buckets rewritten, rest hardlinked)",
+    )
+    xp.add_argument("--table", required=True)
+    xp.add_argument("--dest", required=True, help="export root (versioned dirs + CURRENT)")
+    xp.add_argument("--full", action="store_true", help="force a full rewrite")
+    xp.add_argument("--keep", type=int, default=None, help="expire all but the newest N export versions after publishing")
+    xp.set_defaults(fn=cmd_export)
+
+    im = sub.add_parser(
+        "import",
+        help="seed a NEW replica table from an export (snapshot+position "
+        "bootstrap); resume the WAL afterwards to converge with the primary",
+    )
+    im.add_argument("--dest", required=True, help="export root to seed from")
+    im.add_argument("--table", required=True, help="path for the NEW replica table")
+    im.add_argument("--buckets", type=int, default=None, help="re-shard the replica (default: source bucket count)")
+    im.set_defaults(fn=cmd_import)
 
     sg = sub.add_parser("staged", help="list / publish / discard staged (WAP) snapshots")
     sg.add_argument("--table", required=True)

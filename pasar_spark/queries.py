@@ -822,6 +822,55 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_retired(  # driver gate caps at 50 seats; oracle-gated every
+    # pytest run via tests/test_retired_oracles.py instead
+    "cdc_export_snapshot",
+    f"""
+    WITH feed AS ({_FEED_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM feed)
+    SELECT conv_id, turn_idx,
+           nfc_normalize(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text,
+           lsn
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_export_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-engine snapshot export (lake/export.py): the replayed
+    table's resolved live state is published as plain parquet (logical
+    names, MoR resolved, tombstones gone, versioned dir + atomic CURRENT
+    flip) and read BACK from the exported files — equality with the raw-
+    feed LWW oracle proves the publish surface any DuckDB/Trino/pandas
+    consumer reads is exactly the table's state. Incremental republish
+    (changed-buckets-only + hardlinked reuse) is covered in
+    tests/test_export.py; this seat gates the end-to-end export→read
+    path. Session-keyed dest with atexit cleanup (same policy as
+    q_csv_roundtrip)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pasar_spark.lake.export import export_snapshot, read_export
+    from pasar_spark.lake.table import LakeTable
+
+    tbl_path, _ = _two_snapshot_table(spark, sf_dir)
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "pasar_export_seat",
+        sf_dir.strip("/").replace("/", "_")
+        + "-"
+        + spark.sparkContext.applicationId,
+    )
+    if dest not in _CSV_TMP_CLEANUPS:
+        _CSV_TMP_CLEANUPS.add(dest)
+        atexit.register(shutil.rmtree, dest, ignore_errors=True)
+    export_snapshot(LakeTable.load(spark, tbl_path), dest)
+    return read_export(spark, dest).select("conv_id", "turn_idx", "text", "lsn")
+
+
 def _derived_stats_table(spark: SparkSession, sf_dir: str) -> str:
     """Build the IVM fixture through the REAL incremental path: replay
     the feed's first half (lsn <= max/2) into a fresh source table,
