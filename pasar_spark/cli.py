@@ -291,6 +291,15 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    # pure metadata walk — no Spark session needed
+    from pasar_spark.lake.fsck import fsck
+
+    r = fsck(args.table, deep=args.deep)
+    print(json.dumps(r))
+    return 0 if r["ok"] else 1
+
+
 def cmd_import(args) -> int:
     from pasar_spark.lake.export import import_snapshot
 
@@ -506,6 +515,16 @@ def build_parser() -> argparse.ArgumentParser:
     xp.add_argument("--full", action="store_true", help="force a full rewrite")
     xp.add_argument("--keep", type=int, default=None, help="expire all but the newest N export versions after publishing")
     xp.set_defaults(fn=cmd_export)
+
+    fk = sub.add_parser(
+        "fsck",
+        help="table integrity check: manifest chain, referenced files, "
+        "ledger, staged pointers, orphans (metadata-only; --deep adds "
+        "parquet-footer cross-checks). Exit 1 on errors.",
+    )
+    fk.add_argument("--table", required=True)
+    fk.add_argument("--deep", action="store_true")
+    fk.set_defaults(fn=cmd_fsck)
 
     im = sub.add_parser(
         "import",
