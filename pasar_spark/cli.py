@@ -291,6 +291,38 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_etl(args) -> int:
+    # the reference's `python . etl <tables>` surface (etl/__main__.py:21-44):
+    # one feed, many targets, single scan per LSN window (cdc/router.py)
+    from pasar_spark.cdc.router import MultiTableReplayRunner
+
+    spark = _spark(args)
+    runner = MultiTableReplayRunner(
+        spark,
+        args.base_dir,
+        [t for t in args.tables.split(",") if t],
+        route_by=args.route_by,
+        n_buckets=args.buckets,
+        chunk_size=args.chunk_size,
+        merge_mode=args.mode,
+        on_unrouted=args.on_unrouted,
+    )
+    tables = runner.replay(args.wal, max_events=args.max_events)
+    print(
+        json.dumps(
+            {
+                "tables": {
+                    n: {"version": t.version, "last_lsn": t.last_lsn,
+                        "rows_applied": t.manifest["metrics"].get("applied", 0)}
+                    for n, t in sorted(tables.items())
+                },
+                "unrouted_events": runner.unrouted_events,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_fsck(args) -> int:
     # pure metadata walk — no Spark session needed
     from pasar_spark.lake.fsck import fsck
@@ -515,6 +547,28 @@ def build_parser() -> argparse.ArgumentParser:
     xp.add_argument("--full", action="store_true", help="force a full rewrite")
     xp.add_argument("--keep", type=int, default=None, help="expire all but the newest N export versions after publishing")
     xp.set_defaults(fn=cmd_export)
+
+    et = sub.add_parser(
+        "etl",
+        help="multi-table ingest: demux ONE change feed into N lake tables "
+        "(single scan per LSN window, per-table exactly-once ledgers) — "
+        "the reference's `python . etl <tables>` surface",
+    )
+    et.add_argument("--wal", required=True, help="parquet WAL dir of the interleaved feed")
+    et.add_argument("--base-dir", required=True, help="each target lives at <base-dir>/<name>")
+    et.add_argument("--tables", required=True, help="comma-separated target names")
+    et.add_argument(
+        "--route-by",
+        default="table",
+        help="SQL expression over the event yielding its target name "
+        "(default: a 'table' column carried by the feed)",
+    )
+    et.add_argument("--buckets", type=int, default=16)
+    et.add_argument("--chunk-size", type=int, default=1_000_000)
+    et.add_argument("--max-events", type=int, default=None)
+    et.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    et.add_argument("--on-unrouted", choices=["error", "ignore"], default="error")
+    et.set_defaults(fn=cmd_etl)
 
     fk = sub.add_parser(
         "fsck",
