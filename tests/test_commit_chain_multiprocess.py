@@ -57,9 +57,12 @@ def test_separate_process_writers_all_land_exactly_once(spark, tmp_path):
     ]
     for p in procs:
         p.start()
-    results = [q.get(timeout=120) for _ in procs]
+    # generous deadlines: each worker boots its OWN JVM, and on a box
+    # already saturated by a concurrent suite run 120 s has been observed
+    # to starve — the timeout exists to fail a HUNG worker, not a slow one
+    results = [q.get(timeout=300) for _ in procs]
     for p in procs:
-        p.join(timeout=30)
+        p.join(timeout=60)
     assert all(r[1] == "ok" for r in results), results
 
     final = LakeTable.load(spark, path)
