@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "cdc_time_travel",
     "cdc_derived_stats",
     "cdc_partitioned_feed",
+    "cdc_multi_table",
     "cdc_partial_updates",
     "cdc_patch_deletes",
     "cdc_patch_table",

@@ -653,6 +653,100 @@ def cdc_partitioned_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Routing key for the multi-table demux seat: the conv_id's last digit
+# mod 3, expressible identically in Spark SQL and DuckDB so the oracle
+# recomputes the demux exactly (conv_id is 'conv-%05d', digit-terminated).
+_MT_ROUTE_SPARK = "concat('t', cast(substring(conv_id, -1, 1) as int) % 3)"
+_MT_ROUTE_DUCK = "'t' || CAST(CAST(substr(conv_id, -1, 1) AS INT) % 3 AS VARCHAR)"
+_MT_NAMES = ["t0", "t1", "t2"]
+
+
+def _routed_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Demux the events-derived feed into three lake tables through the
+    ACTUAL multi-table router (cdc/router.py MultiTableReplayRunner —
+    the reference's `python . etl <tables>` shape), cached per sf_dir.
+    Four LSN windows so the lockstep/position machinery really iterates;
+    one scan per window regardless of table count."""
+    import json as _json
+    import os
+    import shutil
+
+    from pasar_spark.cdc.router import MultiTableReplayRunner
+    from pasar_spark.lake.table import LakeTable
+
+    feed = _as_change_feed(load(spark, sf_dir, "events")).withColumns(
+        {"role": F.col("op"), "tool": F.lit(None).cast("string")}
+    )
+    cache = _cache_root(
+        "multi_table", sf_dir, _routed_lake, MultiTableReplayRunner.replay,
+        _MT_ROUTE_SPARK, 8, 4,
+    )
+    marker = os.path.join(cache, "MARKER.json")
+    base = os.path.join(cache, "lake")
+    if not (
+        os.path.exists(marker)
+        and all(LakeTable.exists(os.path.join(base, n)) for n in _MT_NAMES)
+    ):
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        tip = feed.agg(F.max("lsn").alias("m")).collect()[0]["m"]
+        MultiTableReplayRunner(
+            spark, base, _MT_NAMES, route_by=_MT_ROUTE_SPARK,
+            n_buckets=8, chunk_size=max(tip // 4 + 1, 1),
+        ).replay(feed)
+        with open(marker, "w") as fh:
+            _json.dump({"tip": tip}, fh)
+    return base
+
+
+@register(
+    "cdc_multi_table",
+    f"""
+    WITH feed AS ({_FEED_SQL}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                   ORDER BY ts DESC, lsn DESC) AS rn
+      FROM feed)
+    SELECT {_MT_ROUTE_DUCK} AS route, conv_id, turn_idx,
+           nfc_normalize(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text,
+           ts, lsn
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table demux replay (reference: one pipeline drives ~22 OMOP
+    targets, etl/__main__.py:21-44): ONE interleaved feed is routed into
+    three lake tables by a key-derived expression through
+    MultiTableReplayRunner (single scan per LSN window, per-table
+    exactly-once ledgers, lockstep positions — cdc/router.py). The query
+    returns the union of the three tables' final states tagged with the
+    route; the oracle recomputes the same LWW state from the raw feed
+    and derives each row's route directly — equality proves the demux
+    partitioned the key space losslessly AND each table's merge applied
+    exactly its slice. Table build cached per sf_dir; reads run live."""
+    import os
+
+    from pasar_spark.lake.table import LakeTable
+
+    base = _routed_lake(spark, sf_dir)
+    out = None
+    for n in _MT_NAMES:
+        part = (
+            LakeTable.load(spark, os.path.join(base, n))
+            .read()
+            .select(
+                F.lit(n).alias("route"),
+                "conv_id",
+                "turn_idx",
+                "text",
+                F.col("ts").cast("timestamp_ntz").alias("ts"),
+                "lsn",
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 @register(
     "cdc_partial_updates",
     """
@@ -1411,7 +1505,10 @@ def q_or_join_unpivoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_retired(  # r5: driver seat given to cdc_multi_table (50-cap);
+    # A5 mode stays driver-gated via cdc_mode_event_type, and this W6
+    # rank-by-frequency window is still oracle-checked every pytest run
+    # by tests/test_retired_oracles.py
     "q_mode_brand",
     """
     SELECT p_type, p_brand AS top_brand FROM (

@@ -60,6 +60,35 @@ def envelope_schema() -> StructType:
     )
 
 
+def open_wal_stream(
+    spark: SparkSession,
+    wal_path: str,
+    schema: StructType | None,
+    wire_format: str,
+    max_files_per_trigger: int | None,
+):
+    """Build the readStream over the WAL dir — the one place the wire
+    format decides the source shape. ``debezium-json`` tails JSON lines
+    (schema is `value string` by construction, always startable against
+    an empty dir); ``parquet`` needs an envelope schema — pinned by the
+    caller (production) or inferred from current contents (ad-hoc)."""
+    import os
+
+    if wire_format == "debezium-json":
+        os.makedirs(wal_path, exist_ok=True)
+        reader = spark.readStream
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader.text(wal_path)
+    if schema is None:
+        schema = spark.read.parquet(wal_path).schema
+    os.makedirs(wal_path, exist_ok=True)  # tail-before-first-ship
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(wal_path)
+
+
 class StreamingIngest:
     def __init__(
         self,
@@ -187,35 +216,11 @@ class StreamingIngest:
             f.refresh()
 
     def _start(self, **trigger):
-        import os
-
         self.bootstrap()
-        if self.wire_format == "debezium-json":
-            # JSON-lines text source: schema is `value string` by
-            # construction, so the tail is always startable against an
-            # empty WAL dir; envelope decode happens per epoch.
-            os.makedirs(self.wal_path, exist_ok=True)
-            reader = self.spark.readStream
-            if self.max_files_per_trigger:
-                reader = reader.option(
-                    "maxFilesPerTrigger", self.max_files_per_trigger
-                )
-            stream = reader.text(self.wal_path)
-        else:
-            # The parquet file source needs an explicit schema. Pinned
-            # (production: startable against an EMPTY WAL dir, stable
-            # across whatever the shipper writes) or, as an ad-hoc
-            # fallback, inferred from the current WAL contents.
-            schema = self.schema
-            if schema is None:
-                schema = self.spark.read.parquet(self.wal_path).schema
-            os.makedirs(self.wal_path, exist_ok=True)  # tail-before-first-ship
-            reader = self.spark.readStream.schema(schema)
-            if self.max_files_per_trigger:
-                reader = reader.option(
-                    "maxFilesPerTrigger", self.max_files_per_trigger
-                )
-            stream = reader.parquet(self.wal_path)
+        stream = open_wal_stream(
+            self.spark, self.wal_path, self.schema,
+            self.wire_format, self.max_files_per_trigger,
+        )
         return (
             stream.writeStream.foreachBatch(self._apply_epoch)
             .option("checkpointLocation", self.checkpoint_path)
@@ -242,4 +247,161 @@ class StreamingIngest:
         exactly-once argument carries over unchanged. Returns the
         StreamingQuery; callers stop() it (tests) or awaitTermination()
         (a deployment)."""
+        return self._start(processingTime=processing_time)
+
+
+class MultiTableStreamingIngest:
+    """Streaming demux: ONE WAL tail feeding N lake tables — the live
+    form of cdc/router.py MultiTableReplayRunner (the reference's
+    `python . etl <tables>` shape on a continuous feed).
+
+    The streaming epoch replaces the router's LSN window: the epoch id
+    is the batch id on EVERY target's ledger, so at-least-once epoch
+    redelivery dedupes per table — a crash between two tables' commits
+    inside one epoch heals on redelivery (committed tables no-op via
+    ``has_batch``, laggards apply). No lockstep position commits are
+    needed here: the streaming checkpoint is the single group-position
+    authority, so a table whose epoch slice is empty simply skips (its
+    recomputed slice is empty again on any redelivery).
+
+    The epoch is persisted once and sliced per table — one decode/scan
+    per epoch regardless of table count, same single-pass argument as
+    the batch router.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        tables: list[str],
+        route_by: str,
+        wal_path: str,
+        checkpoint_path: str,
+        n_buckets: int = 16,
+        normalizer: str = "arrow",
+        max_files_per_trigger: int | None = None,
+        merge_mode: str = "mor",
+        compact_min_files: int = 8,
+        schema: StructType | None = None,
+        wire_format: str = "parquet",
+        dlq_path: str | None = None,
+        on_unrouted: str = "error",
+        followers: list | None = None,
+    ):
+        import os
+
+        if wire_format not in ("parquet", "debezium-json"):
+            raise ValueError(f"unknown wire_format {wire_format!r}")
+        if on_unrouted not in ("error", "ignore"):
+            raise ValueError(f"on_unrouted must be 'error'|'ignore', got {on_unrouted!r}")
+        if not tables:
+            raise ValueError("tables must name at least one target")
+        self.spark = spark
+        self.base_dir = base_dir
+        self.names = sorted(tables)
+        self.route_by = route_by
+        self.wal_path = wal_path
+        self.checkpoint_path = checkpoint_path
+        self.n_buckets = n_buckets
+        self.normalizer = normalizer
+        self.max_files_per_trigger = max_files_per_trigger
+        self.merge_mode = merge_mode
+        self.compact_min_files = compact_min_files
+        self.schema = schema
+        self.wire_format = wire_format
+        self.dlq_path = dlq_path
+        self.on_unrouted = on_unrouted
+        self.followers = list(followers) if followers else []
+        self.unrouted_events = 0
+        self._paths = {n: os.path.join(base_dir, n) for n in self.names}
+
+    def bootstrap(self) -> dict[str, LakeTable]:
+        return {
+            n: bootstrap_table(self.spark, p, self.n_buckets)
+            for n, p in self._paths.items()
+        }
+
+    def _apply_epoch(self, batch_df, epoch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from pasar_spark.cdc.router import UnroutedEvents
+
+        batch_id = f"stream-{epoch_id}"
+        raw = None
+        if self.wire_format == "debezium-json":
+            from pasar_spark.cdc.debezium import debezium_rejects, from_debezium
+
+            raw = batch_df.persist()
+            if self.dlq_path is not None:
+                debezium_rejects(raw, "value").write.mode("overwrite").text(
+                    f"{self.dlq_path}/epoch={epoch_id}"
+                )
+            batch_df = from_debezium(raw, "value")
+        routed = batch_df.withColumn("_route", F.expr(self.route_by)).persist()
+        try:
+            counts = {
+                r["_route"]: r["n"]
+                for r in routed.groupBy("_route").agg(
+                    F.count(F.lit(1)).alias("n")
+                ).collect()
+            }
+            n_unrouted = sum(v for k, v in counts.items() if k not in self._paths)
+            if n_unrouted and self.on_unrouted == "error":
+                raise UnroutedEvents(
+                    f"epoch {epoch_id}: {n_unrouted} events route to "
+                    "unconfigured targets — add them to `tables` or pass "
+                    "on_unrouted='ignore'"
+                )
+            self.unrouted_events += n_unrouted
+            for name in self.names:
+                if counts.get(name, 0) == 0:
+                    continue  # empty slice: checkpoint is the position authority
+                table = LakeTable.load(self.spark, self._paths[name])
+                if table.has_batch(batch_id):
+                    continue  # redelivered epoch, this target already has it
+                part = routed.where(F.col("_route") == F.lit(name)).drop("_route")
+                part = promote_extra(part, table)
+                table, _ = merge_batch(
+                    table, part, batch_id,
+                    normalizer=self.normalizer, mode=self.merge_mode,
+                )
+                if self.merge_mode == "mor":
+                    compact_buckets(table, min_files=self.compact_min_files)
+            self._refresh_followers()
+        finally:
+            routed.unpersist()
+            if raw is not None:
+                raw.unpersist()
+
+    def _refresh_followers(self) -> None:
+        # same contract as StreamingIngest followers: refresh inside the
+        # epoch, idempotent fold keyed on consumed source versions, so
+        # redelivery heals a crash between source and follower commits
+        for f in self.followers:
+            f.refresh()
+
+    def _start(self, **trigger):
+        self.bootstrap()
+        stream = open_wal_stream(
+            self.spark, self.wal_path, self.schema,
+            self.wire_format, self.max_files_per_trigger,
+        )
+        return (
+            stream.writeStream.foreachBatch(self._apply_epoch)
+            .option("checkpointLocation", self.checkpoint_path)
+            .trigger(**trigger)
+            .start()
+        )
+
+    def run_available_now(self) -> dict[str, LakeTable]:
+        """Drain everything currently in the WAL dir, then stop; returns
+        every target at its final version."""
+        q = self._start(availableNow=True)
+        q.awaitTermination()
+        self._refresh_followers()
+        return {n: LakeTable.load(self.spark, p) for n, p in self._paths.items()}
+
+    def start(self, processing_time: str = "1 second"):
+        """LIVE multi-table tail; same trigger semantics as
+        StreamingIngest.start()."""
         return self._start(processingTime=processing_time)

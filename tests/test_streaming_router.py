@@ -1,0 +1,101 @@
+"""MultiTableStreamingIngest (streaming/stream.py): the live form of the
+multi-table router — ONE WAL tail demuxed into N lake tables per epoch.
+
+Invariants:
+- an availableNow drain produces, per target, exactly the state the
+  BATCH router produces from the same WAL (stream epochs vs LSN windows
+  are invisible under LWW);
+- appended WAL files flow through the same checkpoint incrementally;
+- a redelivered epoch is a per-table no-op (ledger dedup — the
+  crash-between-targets healing path);
+- unrouted traffic fails the epoch by default.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pasar_spark.cdc.router import MultiTableReplayRunner, UnroutedEvents
+from pasar_spark.datagen import change_events, write_change_log
+from pasar_spark.streaming.stream import MultiTableStreamingIngest
+
+ROUTE = "concat('t', cast(substring(conv_id, -1, 1) as int) % 3)"
+NAMES = ["t0", "t1", "t2"]
+
+
+def _state(table):
+    return sorted(
+        (r.conv_id, r.turn_idx, r.text, r.lsn) for r in table.read().collect()
+    )
+
+
+def test_stream_demux_matches_batch_router_and_resumes(spark, tmp_path):
+    wal = str(tmp_path / "wal")
+    ev_all = change_events(spark, 6_000, n_convs=80, seed=53)
+    write_change_log(ev_all.where("lsn < 4000"), wal, n_files=4)
+
+    ingest = MultiTableStreamingIngest(
+        spark, str(tmp_path / "lake"), NAMES, route_by=ROUTE,
+        wal_path=wal, checkpoint_path=str(tmp_path / "ckpt"), n_buckets=4,
+    )
+    t1 = ingest.run_available_now()
+    b1 = MultiTableReplayRunner(
+        spark, str(tmp_path / "batch1"), NAMES, route_by=ROUTE,
+        n_buckets=4, chunk_size=2_000,
+    ).replay(wal)
+    for n in NAMES:
+        assert _state(t1[n]) == _state(b1[n]), n
+
+    # append-only tail: more WAL files appear, same checkpoint drains them
+    ev_all.where("lsn >= 4000").repartition(2).write.mode("append").parquet(wal)
+    t2 = ingest.run_available_now()
+    b2 = MultiTableReplayRunner(
+        spark, str(tmp_path / "batch2"), NAMES, route_by=ROUTE,
+        n_buckets=4, chunk_size=2_000,
+    ).replay(wal)
+    for n in NAMES:
+        assert _state(t2[n]) == _state(b2[n]), n
+
+    # drain with nothing new: no target advances
+    v = {n: t2[n].version for n in NAMES}
+    t3 = ingest.run_available_now()
+    assert {n: t3[n].version for n in NAMES} == v
+
+
+def test_redelivered_epoch_is_per_table_noop(spark, tmp_path):
+    """Simulate the crash-between-targets redelivery: apply the same
+    epoch batch twice through _apply_epoch — every target must end at
+    the same version and state as after the first application."""
+    wal = str(tmp_path / "wal")
+    write_change_log(change_events(spark, 3_000, n_convs=50, seed=7), wal, n_files=2)
+
+    ingest = MultiTableStreamingIngest(
+        spark, str(tmp_path / "lake"), NAMES, route_by=ROUTE,
+        wal_path=wal, checkpoint_path=str(tmp_path / "ckpt"), n_buckets=4,
+    )
+    ingest.bootstrap()
+    batch = spark.read.parquet(wal)
+    ingest._apply_epoch(batch, 0)
+    from pasar_spark.lake.table import LakeTable
+
+    first = {
+        n: (LakeTable.load(spark, f"{tmp_path}/lake/{n}").version,
+            _state(LakeTable.load(spark, f"{tmp_path}/lake/{n}")))
+        for n in NAMES
+    }
+    ingest._apply_epoch(batch, 0)  # redelivery
+    for n in NAMES:
+        t = LakeTable.load(spark, f"{tmp_path}/lake/{n}")
+        assert (t.version, _state(t)) == first[n], n
+
+
+def test_unrouted_fails_epoch(spark, tmp_path):
+    wal = str(tmp_path / "wal")
+    write_change_log(change_events(spark, 1_000, n_convs=30, seed=9), wal, n_files=1)
+    ingest = MultiTableStreamingIngest(
+        spark, str(tmp_path / "lake"), ["t0", "t1"], route_by=ROUTE,
+        wal_path=wal, checkpoint_path=str(tmp_path / "ckpt"), n_buckets=4,
+    )
+    ingest.bootstrap()
+    with pytest.raises(UnroutedEvents):
+        ingest._apply_epoch(spark.read.parquet(wal), 0)
