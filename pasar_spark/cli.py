@@ -297,17 +297,57 @@ def cmd_etl(args) -> int:
     from pasar_spark.cdc.router import MultiTableReplayRunner
 
     spark = _spark(args)
-    runner = MultiTableReplayRunner(
-        spark,
-        args.base_dir,
-        [t for t in args.tables.split(",") if t],
-        route_by=args.route_by,
-        n_buckets=args.buckets,
-        chunk_size=args.chunk_size,
-        merge_mode=args.mode,
-        on_unrouted=args.on_unrouted,
-    )
-    tables = runner.replay(args.wal, max_events=args.max_events)
+    names = [t for t in args.tables.split(",") if t]
+    if args.stream:
+        # live form: one WAL tail, epoch-sliced demux (streaming/stream.py)
+        from pasar_spark.streaming.stream import MultiTableStreamingIngest
+
+        if not args.checkpoint:
+            print("error: etl --stream needs --checkpoint", file=sys.stderr)
+            return 2
+        ingest = MultiTableStreamingIngest(
+            spark,
+            args.base_dir,
+            names,
+            route_by=args.route_by,
+            wal_path=args.wal,
+            checkpoint_path=args.checkpoint,
+            n_buckets=args.buckets,
+            merge_mode=args.mode,
+            on_unrouted=args.on_unrouted,
+        )
+        if args.live:
+            import os
+
+            from pasar_spark.lake.table import LakeTable
+
+            q = ingest.start(processing_time=args.trigger_interval)
+            try:
+                if args.duration > 0:
+                    q.awaitTermination(args.duration)
+                else:
+                    q.awaitTermination()
+            finally:
+                q.stop()
+            tables = {
+                n: LakeTable.load(spark, os.path.join(args.base_dir, n))
+                for n in names
+            }
+        else:
+            tables = ingest.run_available_now()
+        runner = ingest
+    else:
+        runner = MultiTableReplayRunner(
+            spark,
+            args.base_dir,
+            names,
+            route_by=args.route_by,
+            n_buckets=args.buckets,
+            chunk_size=args.chunk_size,
+            merge_mode=args.mode,
+            on_unrouted=args.on_unrouted,
+        )
+        tables = runner.replay(args.wal, max_events=args.max_events)
     print(
         json.dumps(
             {
@@ -568,6 +608,11 @@ def build_parser() -> argparse.ArgumentParser:
     et.add_argument("--max-events", type=int, default=None)
     et.add_argument("--mode", choices=["mor", "cow"], default="mor")
     et.add_argument("--on-unrouted", choices=["error", "ignore"], default="error")
+    et.add_argument("--stream", action="store_true", help="tail the WAL via Structured Streaming instead of batch LSN windows")
+    et.add_argument("--checkpoint", default=None, help="streaming checkpoint dir (required with --stream)")
+    et.add_argument("--live", action="store_true", help="with --stream: processingTime trigger instead of a one-shot drain")
+    et.add_argument("--trigger-interval", default="1 second")
+    et.add_argument("--duration", type=int, default=0, help="with --live: stop after N seconds (0 = until killed)")
     et.set_defaults(fn=cmd_etl)
 
     fk = sub.add_parser(

@@ -89,6 +89,30 @@ def test_redelivered_epoch_is_per_table_noop(spark, tmp_path):
         assert (t.version, _state(t)) == first[n], n
 
 
+def test_cli_etl_stream(spark, tmp_path, capsys):
+    import json
+
+    from pasar_spark.cli import main
+
+    wal = str(tmp_path / "wal")
+    write_change_log(change_events(spark, 2_000, n_convs=40, seed=11), wal, n_files=2)
+    rc = main(
+        [
+            "etl", "--stream",
+            "--wal", wal,
+            "--base-dir", str(tmp_path / "lake"),
+            "--tables", ",".join(NAMES),
+            "--route-by", ROUTE,
+            "--buckets", "4",
+            "--checkpoint", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out["tables"]) == set(NAMES)
+    assert all(v["last_lsn"] >= 0 for v in out["tables"].values())
+
+
 def test_unrouted_fails_epoch(spark, tmp_path):
     wal = str(tmp_path / "wal")
     write_change_log(change_events(spark, 1_000, n_convs=30, seed=9), wal, n_files=1)
