@@ -145,6 +145,23 @@ def test_unrouted_error_and_ignore(spark, wal, tmp_path):
     assert _state(tables["t1"]) == _oracle_state(wal, ROUTE_DUCK, "t1")
 
 
+def test_combined_fanout_equals_per_table(spark, wal, tmp_path):
+    """The default combined window (one (route,key) LWW reduce + one
+    partitionBy(_route,_bucket) write, driver-side file attach) must be
+    state- and metrics-equivalent to N independent merge_batch calls —
+    the LWW-associativity argument, checked end to end."""
+    combined = _runner(spark, str(tmp_path / "c")).replay(wal)
+    per_table = _runner(spark, str(tmp_path / "p"), fanout="per-table").replay(wal)
+    for name in NAMES:
+        assert _state(combined[name]) == _state(per_table[name]), name
+        cm, pm = combined[name].metrics, per_table[name].metrics
+        for k in ("applied", "deleted", "events_seen"):
+            assert cm.get(k, 0) == pm.get(k, 0), (name, k, cm, pm)
+    # oracle gate on the combined output specifically
+    for name in NAMES:
+        assert _state(combined[name]) == _oracle_state(wal, ROUTE_DUCK, name)
+
+
 def test_cli_etl(spark, wal, tmp_path, capsys):
     from pasar_spark.cli import main
 
