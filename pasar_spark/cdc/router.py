@@ -293,26 +293,12 @@ class MultiTableReplayRunner:
                 pass
 
     def _combined_eligible(self, tables: dict, todo: list[str], routed) -> bool:
-        """The combined fan-out requires every target this window to
-        share one physical story: same schema, key, resolve order,
-        bucket function — and no schema-evolution step landing in this
-        window (the per-table path owns evolution), and mor mode (cow
-        needs a per-table full-outer merge)."""
+        """Combined fan-out needs mor mode (cow needs a per-table
+        full-outer merge), homogeneous targets, and no schema-evolution
+        step landing in this window (the per-table path owns evolution)."""
         if self.fanout == "per-table" or self.merge_mode != "mor":
             return False
-        import json as _json
-
-        def sig(t: LakeTable):
-            m = t.manifest
-            return (
-                m["n_buckets"],
-                m.get("bucket_by"),
-                tuple(m["key"]),
-                tuple(m.get("resolve_order", [])),
-                _json.dumps(t.schema.to_json(), sort_keys=True),
-            )
-
-        if len({sig(tables[n]) for n in todo}) != 1:
+        if not combined_eligible(tables, todo):
             return False
         if self.evolution_plan.steps:
             ver = max_schema_ver(routed)
@@ -332,158 +318,209 @@ class MultiTableReplayRunner:
         chunk_hi: int,
         counts: dict,
     ) -> None:
-        """ONE Spark job for the whole window, any number of targets:
-        a single LWW reduce keyed by ``(_route, key)`` (reducing each
-        route's slice separately or all routes together is the same set
-        of winners — route is part of the key, LWW is associative), one
-        ``partitionBy(_route, _bucket)`` write into a staging dir under
-        ``base_dir``, then per-table driver-side ``os.replace`` moves +
-        metadata commits. Physical files are byte-compatible with
-        ``LakeTable.write_files`` output (field-id column names, codec,
-        bloom filters, footer key stats) because the projection below
-        mirrors it; a crash after some moves leaves orphans that fsck
-        reports and the ledger-deduped rerun supersedes."""
-        import shutil
-        import urllib.parse
-        import uuid
-
-        import pyarrow.parquet as pq
-
-        from pasar_spark.cdc.lww import lww_reduce
-        from pasar_spark.cdc.merge import ORDER
-        from pasar_spark.functions.normalize import (
-            normalize_text,
-            normalize_text_native,
+        combined_window(
+            self.base_dir, tables, routed, todo, batch_id, counts,
+            chunk_hi=chunk_hi, normalizer=self.normalizer,
+            compact_min_files=self.compact_min_files,
         )
-        from pasar_spark.lake.table import _footer_key_stats
 
-        t0 = tables[todo[0]]
-        key = t0.manifest["key"]
-        order = t0.manifest.get("resolve_order", ORDER)
-        schema_cols = t0.schema.names()
-        payload = [
-            c for c in schema_cols if c not in set(key) | set(order) | {"_tombstone"}
-        ]
 
-        src = promote_extra(routed.where(F.col("_route").isin(list(todo))), t0)
-        reduced = lww_reduce(
-            src, key=["_route"] + key, order=order, payload=payload + ["op"]
-        )
-        if self.normalizer == "arrow":
-            reduced = reduced.withColumn("text", normalize_text(F.col("text")))
-        elif self.normalizer == "native":
-            reduced = reduced.withColumn("text", normalize_text_native(F.col("text")))
-        is_delete = F.col("op") == "D"
-        final = reduced.select(
-            F.col("_route"),
-            *key,
-            *order,
-            *[
-                F.when(is_delete, F.lit(None)).otherwise(F.col(c)).alias(c)
-                for c in payload
-            ],
-            is_delete.alias("_tombstone"),
-            t0.bucket_expr().alias("_bucket"),
-        )
-        staging = os.path.join(
-            self.base_dir, ".etl_staging", f"{batch_id}-{uuid.uuid4().hex[:8]}"
-        )
-        phys = [
-            F.col(f.name).cast(f.type).alias(f"f{f.id}")
-            for f in t0.schema.fields
-        ]
-        # per-route applied/deleted ride the WRITE job as observe()
-        # aggregates (2 conditional sums per target) — no persist, no
-        # second pass over the reduce
-        from pyspark.sql import Observation
+def combined_eligible(tables: dict, todo: list[str]) -> bool:
+    """True when every target shares one physical story: same schema,
+    key, resolve order, and bucket function — the precondition for the
+    shared reduce + shared write of :func:`combined_window`."""
+    import json as _json
 
-        obs = Observation(f"router-{batch_id}-{uuid.uuid4().hex[:8]}")
-        hit = F.col("_route")
-        tomb = F.col("_tombstone").cast("long")
-        obs_aggs = []
-        for i, name in enumerate(todo):
-            m = (hit == F.lit(name)).cast("long")
-            obs_aggs.append(F.sum(m * (1 - tomb)).alias(f"a{i}"))
-            obs_aggs.append(F.sum(m * tomb).alias(f"d{i}"))
-        out = (
-            final.observe(obs, *obs_aggs)
-            .select(F.col("_route"), *phys, F.col("_bucket"))
-            .repartition(t0.manifest["n_buckets"], F.col("_bucket"))
+    def sig(t: LakeTable):
+        m = t.manifest
+        return (
+            m["n_buckets"],
+            m.get("bucket_by"),
+            tuple(m["key"]),
+            tuple(m.get("resolve_order", [])),
+            _json.dumps(t.schema.to_json(), sort_keys=True),
         )
-        codec = os.environ.get("PASAR_PARQUET_CODEC", "snappy")
-        writer = out.write.mode("errorifexists").option("compression", codec)
-        bucket_by = t0.manifest.get("bucket_by")
-        if (
-            os.environ.get("PASAR_PARQUET_BLOOM", "1") != "0"
-            and bucket_by in set(schema_cols)
-        ):
-            key_phys = f"f{t0.schema.field_by_name(bucket_by).id}"
-            writer = (
-                writer.option(f"parquet.bloom.filter.enabled#{key_phys}", "true")
-                .option("parquet.bloom.filter.adaptive.enabled", "true")
-                .option("parquet.bloom.filter.max.bytes", str(256 * 1024))
+
+    return len({sig(tables[n]) for n in todo}) == 1
+
+
+def combined_window(
+    base_dir: str,
+    tables: dict,
+    routed,
+    todo: list[str],
+    batch_id: str,
+    counts: dict,
+    chunk_hi: int | None = None,
+    normalizer: str = "arrow",
+    compact_min_files: int = 8,
+) -> None:
+    """ONE Spark job for a whole window/epoch, any number of targets:
+    a single LWW reduce keyed by ``(_route, key)`` (reducing each
+    route's slice separately or all routes together is the same set
+    of winners — route is part of the key, LWW is associative), one
+    ``partitionBy(_route, _bucket)`` write into a staging dir under
+    ``base_dir``, then per-table driver-side ``os.replace`` moves +
+    metadata commits. Physical files are byte-compatible with
+    ``LakeTable.write_files`` output (field-id column names, codec,
+    bloom filters, footer key stats) because the projection below
+    mirrors it; a crash after some moves leaves orphans that fsck
+    reports and the ledger-deduped rerun supersedes.
+
+    ``chunk_hi`` is the authoritative window end for LSN-window replay;
+    ``None`` (the streaming-epoch case, where no window bound exists)
+    records each table's observed per-route max LSN instead. Mutates
+    ``tables`` in place to the committed+compacted versions."""
+    import shutil
+    import urllib.parse
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Observation
+
+    from pasar_spark.cdc.lww import lww_reduce
+    from pasar_spark.cdc.merge import ORDER
+    from pasar_spark.functions.normalize import (
+        normalize_text,
+        normalize_text_native,
+    )
+    from pasar_spark.lake.table import _footer_key_stats
+
+    t0 = tables[todo[0]]
+    key = t0.manifest["key"]
+    order = t0.manifest.get("resolve_order", ORDER)
+    schema_cols = t0.schema.names()
+    payload = [
+        c for c in schema_cols if c not in set(key) | set(order) | {"_tombstone"}
+    ]
+
+    src = promote_extra(routed.where(F.col("_route").isin(list(todo))), t0)
+    reduced = lww_reduce(
+        src, key=["_route"] + key, order=order, payload=payload + ["op"]
+    )
+    if normalizer == "arrow":
+        reduced = reduced.withColumn("text", normalize_text(F.col("text")))
+    elif normalizer == "native":
+        reduced = reduced.withColumn("text", normalize_text_native(F.col("text")))
+    is_delete = F.col("op") == "D"
+    final = reduced.select(
+        F.col("_route"),
+        *key,
+        *order,
+        *[
+            F.when(is_delete, F.lit(None)).otherwise(F.col(c)).alias(c)
+            for c in payload
+        ],
+        is_delete.alias("_tombstone"),
+        t0.bucket_expr().alias("_bucket"),
+    )
+    staging = os.path.join(
+        base_dir, ".etl_staging", f"{batch_id}-{uuid.uuid4().hex[:8]}"
+    )
+    phys = [
+        F.col(f.name).cast(f.type).alias(f"f{f.id}")
+        for f in t0.schema.fields
+    ]
+    # per-route applied/deleted (and, for streaming, max lsn) ride the
+    # WRITE job as observe() aggregates — no persist, no second pass
+    # over the reduce
+    obs = Observation(f"router-{batch_id}-{uuid.uuid4().hex[:8]}")
+    hit = F.col("_route")
+    tomb = F.col("_tombstone").cast("long")
+    lsn_col = order[-1]  # the monotone component of the resolve order
+    obs_aggs = []
+    for i, name in enumerate(todo):
+        m = (hit == F.lit(name)).cast("long")
+        obs_aggs.append(F.sum(m * (1 - tomb)).alias(f"a{i}"))
+        obs_aggs.append(F.sum(m * tomb).alias(f"d{i}"))
+        if chunk_hi is None:
+            obs_aggs.append(
+                F.max(F.when(hit == F.lit(name), F.col(lsn_col))).alias(f"l{i}")
             )
-        writer.partitionBy("_route", "_bucket").parquet(staging)
-        m = dict(obs.get)
-        applied_deleted = {
-            name: (int(m.get(f"a{i}") or 0), int(m.get(f"d{i}") or 0))
-            for i, name in enumerate(todo)
-        }
+    out = (
+        final.observe(obs, *obs_aggs)
+        .select(F.col("_route"), *phys, F.col("_bucket"))
+        .repartition(t0.manifest["n_buckets"], F.col("_bucket"))
+    )
+    codec = os.environ.get("PASAR_PARQUET_CODEC", "snappy")
+    writer = out.write.mode("errorifexists").option("compression", codec)
+    bucket_by = t0.manifest.get("bucket_by")
+    if (
+        os.environ.get("PASAR_PARQUET_BLOOM", "1") != "0"
+        and bucket_by in set(schema_cols)
+    ):
+        key_phys = f"f{t0.schema.field_by_name(bucket_by).id}"
+        writer = (
+            writer.option(f"parquet.bloom.filter.enabled#{key_phys}", "true")
+            .option("parquet.bloom.filter.adaptive.enabled", "true")
+            .option("parquet.bloom.filter.max.bytes", str(256 * 1024))
+        )
+    writer.partitionBy("_route", "_bucket").parquet(staging)
+    m = dict(obs.get)
+    applied_deleted = {
+        name: (int(m.get(f"a{i}") or 0), int(m.get(f"d{i}") or 0))
+        for i, name in enumerate(todo)
+    }
+    route_lsn = {
+        name: m.get(f"l{i}") for i, name in enumerate(todo)
+    } if chunk_hi is None else {}
 
-        route_dirs = {
-            urllib.parse.unquote(d[len("_route=") :]): os.path.join(staging, d)
-            for d in os.listdir(staging)
-            if d.startswith("_route=")
-        }
-        stat_cols = {
-            f"f{t0.schema.field_by_name(k).id}" for k in key if k in set(schema_cols)
-        }
-        for name in todo:
-            t = tables[name]
-            commit_id = t.new_commit_id()
-            new_files: dict[str, list[dict]] = {}
-            rdir = route_dirs.get(name)
-            if rdir:
-                for bd in sorted(os.listdir(rdir)):
-                    if not bd.startswith("_bucket="):
+    route_dirs = {
+        urllib.parse.unquote(d[len("_route=") :]): os.path.join(staging, d)
+        for d in os.listdir(staging)
+        if d.startswith("_route=")
+    }
+    stat_cols = {
+        f"f{t0.schema.field_by_name(k).id}" for k in key if k in set(schema_cols)
+    }
+    for name in todo:
+        t = tables[name]
+        commit_id = t.new_commit_id()
+        new_files: dict[str, list[dict]] = {}
+        rdir = route_dirs.get(name)
+        if rdir:
+            for bd in sorted(os.listdir(rdir)):
+                if not bd.startswith("_bucket="):
+                    continue
+                b = str(int(bd.split("=")[1]))
+                dest_rel = os.path.join("data", commit_id, bd)
+                dest = os.path.join(t.path, dest_rel)
+                os.makedirs(dest, exist_ok=True)
+                entries = []
+                for f in sorted(os.listdir(os.path.join(rdir, bd))):
+                    if not f.endswith(".parquet"):
                         continue
-                    b = str(int(bd.split("=")[1]))
-                    dest_rel = os.path.join("data", commit_id, bd)
-                    dest = os.path.join(t.path, dest_rel)
-                    os.makedirs(dest, exist_ok=True)
-                    entries = []
-                    for f in sorted(os.listdir(os.path.join(rdir, bd))):
-                        if not f.endswith(".parquet"):
-                            continue
-                        full_dst = os.path.join(dest, f)
-                        # same-filesystem rename: staging lives under
-                        # base_dir next to the tables
-                        os.replace(os.path.join(rdir, bd, f), full_dst)
-                        md = pq.ParquetFile(full_dst).metadata
-                        entry = {
-                            "path": os.path.join(dest_rel, f),
-                            "schema_id": t.schema.schema_id,
-                            "rows": md.num_rows,
-                        }
-                        stats = _footer_key_stats(md, stat_cols)
-                        if stats:
-                            entry["stats"] = stats
-                        entries.append(entry)
-                    if entries:
-                        new_files[b] = entries
-            applied, deleted = applied_deleted.get(name, (0, 0))
-            tables[name] = t.commit_append(
-                new_files,
-                batch_id,
-                last_lsn=chunk_hi,
-                metrics_delta={
-                    "applied": applied,
-                    "deleted": deleted,
-                    "events_seen": int(counts.get(name, 0)),
-                },
-            )
-            if self.merge_mode == "mor":
-                tables[name], _ = compact_buckets(
-                    tables[name], min_files=self.compact_min_files
-                )
-        shutil.rmtree(staging, ignore_errors=True)
+                    full_dst = os.path.join(dest, f)
+                    # same-filesystem rename: staging lives under
+                    # base_dir next to the tables
+                    os.replace(os.path.join(rdir, bd, f), full_dst)
+                    md = pq.ParquetFile(full_dst).metadata
+                    entry = {
+                        "path": os.path.join(dest_rel, f),
+                        "schema_id": t.schema.schema_id,
+                        "rows": md.num_rows,
+                    }
+                    stats = _footer_key_stats(md, stat_cols)
+                    if stats:
+                        entry["stats"] = stats
+                    entries.append(entry)
+                if entries:
+                    new_files[b] = entries
+        applied, deleted = applied_deleted.get(name, (0, 0))
+        last = chunk_hi if chunk_hi is not None else route_lsn.get(name)
+        last = int(last) if last is not None else None
+        tables[name] = t.commit_append(
+            new_files,
+            batch_id,
+            last_lsn=last,
+            metrics_delta={
+                "applied": applied,
+                "deleted": deleted,
+                "events_seen": int(counts.get(name, 0)),
+            },
+        )
+        tables[name], _ = compact_buckets(
+            tables[name], min_files=compact_min_files
+        )
+    shutil.rmtree(staging, ignore_errors=True)

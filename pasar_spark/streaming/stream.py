@@ -353,20 +353,37 @@ class MultiTableStreamingIngest:
                     "on_unrouted='ignore'"
                 )
             self.unrouted_events += n_unrouted
+            tables = {}
+            todo = []
             for name in self.names:
                 if counts.get(name, 0) == 0:
                     continue  # empty slice: checkpoint is the position authority
                 table = LakeTable.load(self.spark, self._paths[name])
                 if table.has_batch(batch_id):
                     continue  # redelivered epoch, this target already has it
-                part = routed.where(F.col("_route") == F.lit(name)).drop("_route")
-                part = promote_extra(part, table)
-                table, _ = merge_batch(
-                    table, part, batch_id,
-                    normalizer=self.normalizer, mode=self.merge_mode,
+                tables[name] = table
+                todo.append(name)
+            from pasar_spark.cdc.router import combined_eligible, combined_window
+
+            if todo and self.merge_mode == "mor" and combined_eligible(tables, todo):
+                # the epoch is the window: one reduce + one write for all
+                # targets, per-route max lsn recorded (no window bound)
+                combined_window(
+                    self.base_dir, tables, routed, todo, batch_id, counts,
+                    chunk_hi=None, normalizer=self.normalizer,
+                    compact_min_files=self.compact_min_files,
                 )
-                if self.merge_mode == "mor":
-                    compact_buckets(table, min_files=self.compact_min_files)
+            else:
+                for name in todo:
+                    table = tables[name]
+                    part = routed.where(F.col("_route") == F.lit(name)).drop("_route")
+                    part = promote_extra(part, table)
+                    table, _ = merge_batch(
+                        table, part, batch_id,
+                        normalizer=self.normalizer, mode=self.merge_mode,
+                    )
+                    if self.merge_mode == "mor":
+                        compact_buckets(table, min_files=self.compact_min_files)
             self._refresh_followers()
         finally:
             routed.unpersist()
