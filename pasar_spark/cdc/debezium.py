@@ -77,6 +77,11 @@ _SOURCE = T.StructType(
         T.StructField("lsn", T.LongType()),
         T.StructField("ts_ms", T.LongType()),
         T.StructField("ts_us", T.LongType()),
+        # relation identity — the multi-table routing key a real
+        # connector stamps on every event (absent fields parse null,
+        # so single-table feeds are unaffected)
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
     ]
 )
 
@@ -143,8 +148,17 @@ def debezium_rejects(df: DataFrame, value_col: str = "value") -> DataFrame:
     return df.where(~_accepted(_event(value_col)))
 
 
-def from_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
+def from_debezium(
+    df: DataFrame, value_col: str = "value", include_table: bool = False
+) -> DataFrame:
     """Parse Debezium JSON events into the engine change envelope.
+
+    ``include_table=True`` appends a ``_table`` column carrying
+    ``source.table`` — the routing key for a multi-table connector feed
+    (one Postgres publication interleaves every captured relation in a
+    single LSN stream; ``MultiTableStreamingIngest(route_by="_table")``
+    or the batch router demux it). Null for events whose source block
+    omits the field.
 
     Accepts both the Kafka-Connect wrapped form ({"schema":…,
     "payload":…}) and the bare payload, per-row, in one Catalyst
@@ -184,8 +198,12 @@ def from_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
     ts = F.when(is_del, src_ts).otherwise(
         F.coalesce(F.timestamp_micros(ev["after"]["ts"]), src_ts)
     )
+    table_cols = (
+        [ev["source"]["table"].alias("_table")] if include_table else []
+    )
     return (
         unwrapped.select(
+            *table_cols,
             ev["source"]["lsn"].alias("lsn"),
             F.when(is_del, F.lit("D"))
             .when(ev["op"].isin("c", "r"), F.lit("I"))
@@ -218,13 +236,18 @@ def from_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
-def to_debezium(events: DataFrame, wrapped: bool = False) -> DataFrame:
+def to_debezium(
+    events: DataFrame, wrapped: bool = False, table_col: str | None = None
+) -> DataFrame:
     """Engine change envelope → Debezium JSON strings (column ``value``).
 
     The exact inverse of :func:`from_debezium` for row-change events:
     c for I, u for U, d for D (key + schema_ver in ``before``, after
     null, event time in ``source.ts_us``). ``wrapped=True`` adds the
-    Kafka-Connect {"payload": …} framing.
+    Kafka-Connect {"payload": …} framing. ``table_col`` names a column
+    to stamp as ``source.table`` — the multi-table relation identity a
+    real connector emits (round-trips through
+    ``from_debezium(include_table=True)``).
     """
     img = F.struct(
         F.col("conv_id"),
@@ -261,6 +284,7 @@ def to_debezium(events: DataFrame, wrapped: bool = False) -> DataFrame:
             F.col("lsn").alias("lsn"),
             (F.unix_micros(F.col("ts")) / 1000).cast("long").alias("ts_ms"),
             F.unix_micros(F.col("ts")).alias("ts_us"),
+            *([F.col(table_col).alias("table")] if table_col else []),
         ).alias("source"),
     )
     out = F.struct(payload.alias("payload")) if wrapped else payload

@@ -336,7 +336,10 @@ class MultiTableStreamingIngest:
                 debezium_rejects(raw, "value").write.mode("overwrite").text(
                     f"{self.dlq_path}/epoch={epoch_id}"
                 )
-            batch_df = from_debezium(raw, "value")
+            # _table = source.table, so route_by="_table" demuxes by the
+            # connector's own relation identity — the canonical Debezium
+            # multi-table topology (one publication, one LSN stream)
+            batch_df = from_debezium(raw, "value", include_table=True)
         routed = batch_df.withColumn("_route", F.expr(self.route_by)).persist()
         try:
             counts = {

@@ -113,6 +113,56 @@ def test_cli_etl_stream(spark, tmp_path, capsys):
     assert all(v["last_lsn"] >= 0 for v in out["tables"].values())
 
 
+def test_debezium_wire_routes_by_source_table(spark, tmp_path):
+    """The canonical Debezium multi-table topology: ONE JSON-lines WAL
+    carrying events stamped with source.table, tailed with
+    wire_format='debezium-json' and route_by='_table' — each relation
+    lands in its own lake table, state equal to the DuckDB LWW oracle
+    over the raw feed filtered by the same route."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pasar_spark.cdc.debezium import to_debezium
+
+    wal_pq = str(tmp_path / "wal_pq")
+    write_change_log(change_events(spark, 3_000, n_convs=60, seed=13), wal_pq, n_files=2)
+    feed = spark.read.parquet(wal_pq).withColumn("_tbl", F.expr(ROUTE))
+    wal_json = str(tmp_path / "wal_json")
+    to_debezium(
+        feed.select(
+            "lsn", "op", "conv_id", "turn_idx", "role", "text", "tool",
+            F.col("ts").cast("timestamp").alias("ts"), "schema_ver", "extra", "_tbl",
+        ),
+        wrapped=True,
+        table_col="_tbl",
+    ).coalesce(1).write.text(wal_json)
+
+    tables = MultiTableStreamingIngest(
+        spark, str(tmp_path / "lake"), NAMES, route_by="_table",
+        wal_path=wal_json, checkpoint_path=str(tmp_path / "ckpt"),
+        n_buckets=4, wire_format="debezium-json", normalizer="none",
+    ).run_available_now()
+
+    con = duckdb.connect()
+    for n in NAMES:
+        got = sorted(
+            (r.conv_id, r.turn_idx, r.lsn)
+            for r in tables[n].read().collect()
+        )
+        want = sorted(
+            con.execute(
+                f"""
+                SELECT conv_id, turn_idx, lsn FROM (
+                  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                           ORDER BY ts DESC, lsn DESC) rn
+                  FROM '{wal_pq}/*.parquet') WHERE rn = 1 AND op <> 'D'
+                  AND 't' || CAST(CAST(substr(conv_id, -1, 1) AS INT) % 3 AS VARCHAR) = '{n}'
+                """
+            ).fetchall()
+        )
+        assert got == want, n
+
+
 def test_unrouted_fails_epoch(spark, tmp_path):
     wal = str(tmp_path / "wal")
     write_change_log(change_events(spark, 1_000, n_convs=30, seed=9), wal, n_files=1)
