@@ -1289,6 +1289,7 @@ class LakeTable:
         If a reload reveals ``batch_id`` already in the ledger, a
         concurrent twin applied the SAME batch: adopt its commit
         (exactly-once across racing writers, not an error)."""
+        import random as _random
         import time as _time
 
         base = self
@@ -1324,6 +1325,16 @@ class LakeTable:
                     _time.sleep(0.02 * (attempt + 1))
                 else:
                     races += 1
+                    # jittered backoff before recontending: without it a
+                    # descheduled writer can lose MANY races in a row to
+                    # peers committing in bursts (observed with 4 metadata
+                    # writers on a fully loaded box — CommitConflict after
+                    # 16 straight losses). Classic optimistic-CC etiquette;
+                    # the jitter desynchronizes the herd, the growth keeps
+                    # the worst-case wait bounded (~64 ms/attempt).
+                    _time.sleep(
+                        _random.uniform(0, min(0.004 * (attempt + 1), 0.064))
+                    )
                 retry_version = self._max_version() + 1
                 base = reloaded
         raise CommitConflict(
