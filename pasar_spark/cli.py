@@ -346,6 +346,7 @@ def cmd_etl(args) -> int:
             chunk_size=args.chunk_size,
             merge_mode=args.mode,
             on_unrouted=args.on_unrouted,
+            fanout=args.fanout,
         )
         tables = runner.replay(args.wal, max_events=args.max_events)
     print(
@@ -608,6 +609,11 @@ def build_parser() -> argparse.ArgumentParser:
     et.add_argument("--max-events", type=int, default=None)
     et.add_argument("--mode", choices=["mor", "cow"], default="mor")
     et.add_argument("--on-unrouted", choices=["error", "ignore"], default="error")
+    et.add_argument(
+        "--fanout", choices=["auto", "per-table"], default="auto",
+        help="auto = ONE reduce+write job per window for homogeneous targets "
+        "(table-count-invariant cost); per-table forces N independent merges",
+    )
     et.add_argument("--stream", action="store_true", help="tail the WAL via Structured Streaming instead of batch LSN windows")
     et.add_argument("--checkpoint", default=None, help="streaming checkpoint dir (required with --stream)")
     et.add_argument("--live", action="store_true", help="with --stream: processingTime trigger instead of a one-shot drain")
