@@ -162,6 +162,25 @@ def test_combined_fanout_equals_per_table(spark, wal, tmp_path):
         assert _state(combined[name]) == _oracle_state(wal, ROUTE_DUCK, name)
 
 
+def test_heterogeneous_buckets_fall_back_and_stay_correct(spark, wal, tmp_path):
+    """Per-table opts can diverge the physical layout (t1 gets 8 buckets,
+    the rest 4) — combined fan-out is then ineligible and the auto mode
+    must fall back to per-table merges, still matching the oracle."""
+    r = MultiTableReplayRunner(
+        spark,
+        str(tmp_path / "lake"),
+        {"t0": {}, "t1": {"n_buckets": 8}, "t2": {}},
+        route_by=ROUTE_SPARK,
+        n_buckets=4,
+        chunk_size=1_500,
+    )
+    tables = r.replay(wal)
+    assert tables["t1"].manifest["n_buckets"] == 8
+    assert tables["t0"].manifest["n_buckets"] == 4
+    for name in NAMES:
+        assert _state(tables[name]) == _oracle_state(wal, ROUTE_DUCK, name), name
+
+
 def test_cli_etl(spark, wal, tmp_path, capsys):
     from pasar_spark.cli import main
 
