@@ -104,6 +104,25 @@ def test_expired_history_is_healthy(table, spark):
     assert r["ok"], r["errors"]
 
 
+def test_patch_table_fscks_clean(spark, tmp_path):
+    """fsck is storage-mode-agnostic: a patch table (per-column winner
+    structs, different schema shape) must pass the same walk."""
+    from pasar_spark.cdc.patch import PatchReplayRunner
+    from pasar_spark.datagen import change_events, write_change_log
+
+    wal = str(tmp_path / "wal")
+    write_change_log(
+        change_events(spark, 2_000, n_convs=40, seed=3, delete_fraction=0.1),
+        wal, n_files=2,
+    )
+    t = PatchReplayRunner(
+        spark, str(tmp_path / "ptbl"), n_buckets=4, chunk_size=1_000
+    ).replay(wal)
+    r = fsck(t.path, deep=True)
+    assert r["ok"], r["errors"]
+    assert r["checked"]["files"] > 0
+
+
 def test_cli_fsck(table, capsys):
     from pasar_spark.cli import main
 
