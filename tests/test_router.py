@@ -181,6 +181,31 @@ def test_heterogeneous_buckets_fall_back_and_stay_correct(spark, wal, tmp_path):
         assert _state(tables[name]) == _oracle_state(wal, ROUTE_DUCK, name), name
 
 
+def test_evolution_mid_feed_evolves_every_routed_target(spark, tmp_path):
+    """A schema-evolution step landing mid-feed forces the per-table
+    fallback for that window and must evolve EVERY target that sees
+    evolved events — rows predating the evolution point keep null
+    sentiment, later winners carry the promoted JSON value."""
+    from pasar_spark.cdc.schema_evolution import EvolutionPlan
+
+    wal = str(tmp_path / "wal")
+    write_change_log(
+        change_events(spark, 6_000, n_convs=80, seed=31, evolution_lsn=3_000),
+        wal, n_files=4,
+    )
+    plan = EvolutionPlan(steps={1: [("add", "sentiment", "int")]})
+    tables = MultiTableReplayRunner(
+        spark, str(tmp_path / "lake"), NAMES, route_by=ROUTE_SPARK,
+        n_buckets=4, chunk_size=1_500, evolution_plan=plan,
+    ).replay(wal)
+    for name in NAMES:
+        t = tables[name]
+        assert "sentiment" in t.schema.names(), name
+        df = t.read()
+        assert df.where("sentiment is not null").count() > 0, name
+        assert df.where("sentiment is null and text is not null").count() > 0, name
+
+
 def test_cli_etl(spark, wal, tmp_path, capsys):
     from pasar_spark.cli import main
 
