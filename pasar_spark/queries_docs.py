@@ -667,3 +667,61 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------
+# PII scrubbing — the C4/RefinedWeb-class redaction pass (pytest-oracled
+# in the retired pool: the 50-seat driver registry is full, and
+# tests/test_retired_oracles.py runs this against DuckDB every suite).
+# PII is INJECTED deterministically from doc_id in the IDENTICAL
+# expression on both engines, so every row exercises every pattern
+# regardless of the synthetic corpus content.
+# ---------------------------------------------------------------------
+
+_PII_SRC_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com, tel 555-123-4567, host 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7' || "
+    "CASE WHEN doc_id % 3 = 0 THEN ', ssn 123-45-6789' ELSE '' END"
+)
+
+
+def _pii_scrub_sql() -> str:
+    src = f"({_PII_SRC_SQL})"
+    scrubbed = src
+    for _, pat, token in T.PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{token}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all({src}, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in T.PII_PATTERNS
+    )
+    return f"""
+    SELECT doc_id, {scrubbed} AS text_scrubbed, {counts}
+    FROM documents
+    """
+
+
+@register_retired("text_pii_scrub", _pii_scrub_sql())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (emails/IPs/SSNs/phones → typed placeholders) with a
+    per-category audit count — pure Catalyst chained regexp_replace in
+    the scan stage (functions/text.py scrub_pii), patterns restricted to
+    the RE2 ∩ Java dialect so Spark and the DuckDB oracle evaluate the
+    identical expressions."""
+    d = spread(load(spark, sf_dir, "documents"))
+    src = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com, tel 555-123-4567, host 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(", ssn 123-45-6789")).otherwise(
+            F.lit("")
+        ),
+    )
+    counts = T.pii_counts(src)
+    return d.select(
+        "doc_id",
+        T.scrub_pii(src).alias("text_scrubbed"),
+        *[counts[name].alias(f"n_{name}") for name, _, _ in T.PII_PATTERNS],
+    )
