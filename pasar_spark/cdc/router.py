@@ -325,6 +325,53 @@ class MultiTableReplayRunner:
         )
 
 
+def group_snapshot(
+    spark: SparkSession, base_dir: str, tables: list[str]
+) -> dict[str, LakeTable]:
+    """Cross-table CONSISTENT read cut over a routed group — the
+    multi-table-transaction read lakehouses famously lack: N tables fed
+    by one stream, a reader joining them must not see table A at window
+    k+1 and table B at window k (a parent row without its children, a
+    total that doesn't match its lines).
+
+    The router's lockstep invariant makes this cheap: every committed
+    version's ``last_lsn`` is a window boundary shared by the whole
+    group, and a crash/in-flight window splits the group by at most one
+    window. The cut is ``min(last_lsn)`` over the heads; tables ahead of
+    it are walked back down their parent chain (a metadata read per
+    step, never data) to their newest version at the cut — compaction
+    commits carry their window's last_lsn, so the walk lands on the
+    most-compacted state-equivalent version. Returns pinned handles;
+    reads on them are ordinary time-travel reads.
+
+    Raises ``LookupError`` if retention already expired a table's
+    version at the cut (keep ``expire_snapshots`` horizons longer than
+    reader staleness, exactly as with single-table time travel)."""
+    out: dict[str, LakeTable] = {}
+    heads = {
+        n: LakeTable.load(spark, os.path.join(base_dir, n)) for n in tables
+    }
+    cut = min(t.last_lsn for t in heads.values())
+    for n, t in heads.items():
+        while t.last_lsn > cut:
+            parent = t.manifest.get("parent_version")
+            if not parent:
+                raise LookupError(
+                    f"table {n!r}: no retained version at group cut lsn "
+                    f"{cut} (chain ends at v{t.version}, lsn {t.last_lsn})"
+                )
+            try:
+                t = LakeTable.load(spark, t.path, version=parent)
+            except FileNotFoundError:
+                raise LookupError(
+                    f"table {n!r}: version v{parent} at group cut lsn {cut} "
+                    "was expired — raise the expire_snapshots horizon above "
+                    "reader staleness"
+                ) from None
+        out[n] = t
+    return out
+
+
 def combined_eligible(tables: dict, todo: list[str]) -> bool:
     """True when every target shares one physical story: same schema,
     key, resolve order, and bucket function — the precondition for the

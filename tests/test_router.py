@@ -206,6 +206,50 @@ def test_evolution_mid_feed_evolves_every_routed_target(spark, tmp_path):
         assert df.where("sentiment is null and text is not null").count() > 0, name
 
 
+def test_group_snapshot_is_cross_table_consistent(spark, wal, tmp_path):
+    """group_snapshot must pin every table at the SAME window boundary
+    even when one table's head ran ahead (the crash-mid-window shape),
+    and the union of the pinned states must equal the DuckDB LWW state
+    of the feed CUT at that boundary."""
+    import duckdb
+
+    from pasar_spark.cdc.router import group_snapshot
+
+    base = str(tmp_path / "lake")
+    # partial replay: the cut sits strictly INSIDE the feed, so the
+    # oracle's lsn <= cut filter actually bites
+    tables = _runner(spark, base).replay(wal, stop_after_chunks=2)
+    cut = tables["t0"].last_lsn
+    assert cut < 5_999  # interior boundary, not the feed tip
+    # simulate a writer that died after advancing ONE table into the
+    # next window (metadata-only position commit, as the router makes)
+    tables["t1"].commit_append({}, "lsn-ahead", last_lsn=cut + 1_500)
+
+    snap = group_snapshot(spark, base, NAMES)
+    assert {t.last_lsn for t in snap.values()} == {cut}
+
+    union = sorted(
+        row
+        for t in snap.values()
+        for row in (
+            tuple(r)
+            for r in t.read().select("conv_id", "turn_idx", "ts", "lsn").collect()
+        )
+    )
+    want = sorted(
+        duckdb.connect().execute(
+            f"""
+            SELECT conv_id, turn_idx, ts, lsn FROM (
+              SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                       ORDER BY ts DESC, lsn DESC) rn
+              FROM '{wal}/*.parquet' WHERE lsn <= {cut})
+            WHERE rn = 1 AND op <> 'D'
+            """
+        ).fetchall()
+    )
+    assert union == want
+
+
 def test_cli_etl(spark, wal, tmp_path, capsys):
     from pasar_spark.cli import main
 
