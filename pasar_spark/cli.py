@@ -364,6 +364,27 @@ def cmd_etl(args) -> int:
     return 0
 
 
+def cmd_group_snapshot(args) -> int:
+    from pasar_spark.cdc.router import group_snapshot
+
+    spark = _spark(args)
+    snap = group_snapshot(
+        spark, args.base_dir, [t for t in args.tables.split(",") if t]
+    )
+    print(
+        json.dumps(
+            {
+                "cut_lsn": min(t.last_lsn for t in snap.values()),
+                "tables": {
+                    n: {"version": t.version, "last_lsn": t.last_lsn}
+                    for n, t in sorted(snap.items())
+                },
+            }
+        )
+    )
+    return 0
+
+
 def cmd_fsck(args) -> int:
     # pure metadata walk — no Spark session needed
     from pasar_spark.lake.fsck import fsck
@@ -620,6 +641,16 @@ def build_parser() -> argparse.ArgumentParser:
     et.add_argument("--trigger-interval", default="1 second")
     et.add_argument("--duration", type=int, default=0, help="with --live: stop after N seconds (0 = until killed)")
     et.set_defaults(fn=cmd_etl)
+
+    gs = sub.add_parser(
+        "group-snapshot",
+        help="cross-table consistent read cut over a routed group: pins "
+        "every table at the newest COMMON window boundary (versions to "
+        "pass as time-travel reads). O(metadata).",
+    )
+    gs.add_argument("--base-dir", required=True)
+    gs.add_argument("--tables", required=True, help="comma-separated target names")
+    gs.set_defaults(fn=cmd_group_snapshot)
 
     fk = sub.add_parser(
         "fsck",

@@ -269,3 +269,10 @@ def test_cli_etl(spark, wal, tmp_path, capsys):
     out = capsys.readouterr().out
     assert all(os.path.isdir(os.path.join(base, n, "metadata")) for n in NAMES)
     assert "t0" in out and "last_lsn" in out
+
+    import json
+
+    assert main(["group-snapshot", "--base-dir", base, "--tables", ",".join(NAMES)]) == 0
+    snap = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    lsns = {v["last_lsn"] for v in snap["tables"].values()}
+    assert lsns == {snap["cut_lsn"]}
