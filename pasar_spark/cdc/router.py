@@ -346,7 +346,16 @@ def group_snapshot(
 
     Raises ``LookupError`` if retention already expired a table's
     version at the cut (keep ``expire_snapshots`` horizons longer than
-    reader staleness, exactly as with single-table time travel)."""
+    reader staleness, exactly as with single-table time travel).
+
+    LOCKSTEP-ONLY, verified: every pinned version must land EXACTLY on
+    the cut. A streaming-maintained group records per-route max LSNs
+    (epochs have no common window bound), so walking to ``<= cut`` can
+    strand one table's prefix short of another's — a silently
+    inconsistent pair. Such histories raise ``ValueError``: quiesce the
+    stream (drain with availableNow, which ends on a common file-batch
+    boundary) or use batch-router windows when consistent group reads
+    are required."""
     out: dict[str, LakeTable] = {}
     heads = {
         n: LakeTable.load(spark, os.path.join(base_dir, n)) for n in tables
@@ -368,6 +377,14 @@ def group_snapshot(
                     "was expired — raise the expire_snapshots horizon above "
                     "reader staleness"
                 ) from None
+        if t.last_lsn != cut:
+            raise ValueError(
+                f"table {n!r} has no version at the group boundary lsn {cut} "
+                f"(nearest below: v{t.version} at lsn {t.last_lsn}) — this "
+                "history is not lockstep (streaming epochs record per-route "
+                "max LSNs). Quiesce the stream or use batch-router windows "
+                "for consistent group reads."
+            )
         out[n] = t
     return out
 

@@ -249,6 +249,14 @@ def test_group_snapshot_is_cross_table_consistent(spark, wal, tmp_path):
     )
     assert union == want
 
+    # non-lockstep history (streaming-shaped): the LAGGARD's position
+    # sits BETWEEN the others' boundaries, so no common boundary exists
+    # at the min — must refuse rather than pin an inconsistent pair
+    tables["t0"].commit_append({}, "mid-window", last_lsn=cut + 10)
+    tables["t2"].commit_append({}, "ahead-2", last_lsn=cut + 1_500)
+    with pytest.raises(ValueError, match="not lockstep"):
+        group_snapshot(spark, base, NAMES)
+
 
 def test_cli_etl(spark, wal, tmp_path, capsys):
     from pasar_spark.cli import main
