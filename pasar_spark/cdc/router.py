@@ -389,6 +389,69 @@ def group_snapshot(
     return out
 
 
+def _max_stream_epoch(t: LakeTable) -> int | None:
+    """Largest streaming-epoch id in a version's ledger (None if the
+    version predates any streaming commit)."""
+    best = None
+    for b in t.manifest["ledger"]["batch_ids"]:
+        if b.startswith("stream-"):
+            try:
+                e = int(b[len("stream-") :])
+            except ValueError:
+                continue
+            best = e if best is None or e > best else best
+    return best
+
+
+def group_snapshot_epochs(
+    spark: SparkSession, base_dir: str, tables: list[str]
+) -> dict[str, LakeTable]:
+    """Cross-table consistent cut for a STREAMING-maintained group — the
+    epoch, not the LSN, is the consistency authority there: every epoch
+    is a common file-batch prefix of the one WAL tail, applied to each
+    target sequentially inside ``foreachBatch``, and redelivery heals
+    forward — so AT MOST the newest epoch can be split across targets
+    (the exact analogue of the batch router's one-window split).
+
+    Cut epoch = the global max epoch K across the group if every target
+    that ever streams carries K (no split), else K-1. Each table pins at
+    its newest version whose ledger's max stream-epoch ≤ the cut — a
+    metadata walk, never data. A target with no streaming commits at
+    all (cold: every slice so far was empty) pins at its head, which IS
+    its state at any epoch by construction.
+
+    Use :func:`group_snapshot` for batch-router (lockstep LSN-window)
+    histories; this one for groups fed by MultiTableStreamingIngest."""
+    heads = {
+        n: LakeTable.load(spark, os.path.join(base_dir, n)) for n in tables
+    }
+    maxes = {n: _max_stream_epoch(t) for n, t in heads.items()}
+    seen = [e for e in maxes.values() if e is not None]
+    if not seen:
+        return heads  # no streaming history: heads are trivially consistent
+    k = max(seen)
+    if any(e is not None and e < k for e in maxes.values()):
+        k -= 1  # newest epoch split across targets: cut below it
+    out: dict[str, LakeTable] = {}
+    for n, t in heads.items():
+        while (_max_stream_epoch(t) or -1) > k:
+            parent = t.manifest.get("parent_version")
+            if not parent:
+                raise LookupError(
+                    f"table {n!r}: no retained version at group epoch {k}"
+                )
+            try:
+                t = LakeTable.load(spark, t.path, version=parent)
+            except FileNotFoundError:
+                raise LookupError(
+                    f"table {n!r}: version v{parent} at group epoch {k} was "
+                    "expired — raise the expire_snapshots horizon above "
+                    "reader staleness"
+                ) from None
+        out[n] = t
+    return out
+
+
 def combined_eligible(tables: dict, todo: list[str]) -> bool:
     """True when every target shares one physical story: same schema,
     key, resolve order, and bucket function — the precondition for the

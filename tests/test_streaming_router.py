@@ -163,6 +163,48 @@ def test_debezium_wire_routes_by_source_table(spark, tmp_path):
         assert got == want, n
 
 
+def test_group_snapshot_epochs_heals_split_epoch(spark, tmp_path):
+    """Epoch-authority consistent cut for streaming groups: after a
+    drain the heads are consistent (cut == heads); a mid-epoch crash
+    (one target carrying an epoch the others lack) pins everyone back
+    below the split epoch, restoring the drained group state."""
+    from pyspark.sql import functions as F
+
+    from pasar_spark.cdc.merge import merge_batch
+    from pasar_spark.cdc.router import group_snapshot_epochs
+    from pasar_spark.cdc.schema_evolution import promote_extra
+
+    wal = str(tmp_path / "wal")
+    ev = change_events(spark, 4_000, n_convs=60, seed=29)
+    write_change_log(ev.where("lsn < 3000"), wal, n_files=2)
+    base = str(tmp_path / "lake")
+    ingest = MultiTableStreamingIngest(
+        spark, base, NAMES, route_by=ROUTE,
+        wal_path=wal, checkpoint_path=str(tmp_path / "ckpt"), n_buckets=4,
+    )
+    drained = ingest.run_available_now()
+    ref = {n: _state(drained[n]) for n in NAMES}
+
+    # quiesced group: the epoch cut IS the heads
+    snap = group_snapshot_epochs(spark, base, NAMES)
+    for n in NAMES:
+        assert snap[n].version == drained[n].version, n
+
+    # mid-epoch crash: epoch 999 landed on t0 only
+    part = (
+        ev.where("lsn >= 3000")
+        .withColumn("_route", F.expr(ROUTE))
+        .where(F.col("_route") == "t0")
+        .drop("_route")
+    )
+    t0 = drained["t0"]
+    merge_batch(t0, promote_extra(part, t0), "stream-999", normalizer="arrow")
+
+    snap = group_snapshot_epochs(spark, base, NAMES)
+    for n in NAMES:
+        assert _state(snap[n]) == ref[n], n
+
+
 def test_unrouted_fails_epoch(spark, tmp_path):
     wal = str(tmp_path / "wal")
     write_change_log(change_events(spark, 1_000, n_convs=30, seed=9), wal, n_files=1)
