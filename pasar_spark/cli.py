@@ -365,15 +365,15 @@ def cmd_etl(args) -> int:
 
 
 def cmd_group_snapshot(args) -> int:
-    from pasar_spark.cdc.router import group_snapshot
+    from pasar_spark.cdc.router import group_snapshot, group_snapshot_epochs
 
     spark = _spark(args)
-    snap = group_snapshot(
-        spark, args.base_dir, [t for t in args.tables.split(",") if t]
-    )
+    fn = group_snapshot if args.authority == "lsn" else group_snapshot_epochs
+    snap = fn(spark, args.base_dir, [t for t in args.tables.split(",") if t])
     print(
         json.dumps(
             {
+                "authority": args.authority,
                 "cut_lsn": min(t.last_lsn for t in snap.values()),
                 "tables": {
                     n: {"version": t.version, "last_lsn": t.last_lsn}
@@ -650,6 +650,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     gs.add_argument("--base-dir", required=True)
     gs.add_argument("--tables", required=True, help="comma-separated target names")
+    gs.add_argument(
+        "--authority", choices=["lsn", "epoch"], default="lsn",
+        help="lsn = batch-router lockstep windows (strict); epoch = "
+        "streaming-maintained groups (cuts below a split epoch)",
+    )
     gs.set_defaults(fn=cmd_group_snapshot)
 
     fk = sub.add_parser(
