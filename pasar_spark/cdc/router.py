@@ -131,7 +131,11 @@ class MultiTableReplayRunner:
         self.compact_min_files = compact_min_files
         self.on_unrouted = on_unrouted
         self.fanout = fanout
-        #: events dropped by on_unrouted='ignore' across replay() calls
+        #: events dropped by on_unrouted='ignore' across replay() calls.
+        #: At-least-once under crash-resume: a re-derived window recounts
+        #: its drops (like every side-band metric of an at-least-once
+        #: pipeline); exact-once would need the count in every table's
+        #: committed metrics, which the empty-slice commits don't carry.
         self.unrouted_events = 0
 
     # ------------------------------------------------------------------
@@ -181,11 +185,27 @@ class MultiTableReplayRunner:
         probe_gap = True
         while lo <= hi:
             if probe_gap:
-                nxt = source.next_lsn(lo)
-                if nxt is None or nxt > hi:
-                    break
-                lo = max(lo, nxt)
-                probe_gap = False
+                # Resume guard BEFORE probing: if any table already
+                # committed the ARITHMETIC window starting at lo, the
+                # original run derived this window without a probe (lo
+                # was a prior window's hi+1 with data mid-window but not
+                # AT lo). Probing here would jump lo to the next existing
+                # lsn, mint a different batch id for the same events, and
+                # defeat the per-table ledger dedup that makes the
+                # crash-split window exactly-once (state would still
+                # converge by LWW idempotence, but metrics would double
+                # count). Committed ids are authoritative — reuse them.
+                arith_hi = min(lo + self.chunk_size - 1, hi)
+                if any(
+                    tables[n].has_batch(f"lsn-{lo}-{arith_hi}") for n in names
+                ):
+                    probe_gap = False
+                else:
+                    nxt = source.next_lsn(lo)
+                    if nxt is None or nxt > hi:
+                        break
+                    lo = max(lo, nxt)
+                    probe_gap = False
             chunk_hi = min(lo + self.chunk_size - 1, hi)
             batch_id = f"lsn-{lo}-{chunk_hi}"
             if all(tables[n].has_batch(batch_id) for n in names):
@@ -272,25 +292,7 @@ class MultiTableReplayRunner:
 
     # ------------------------------------------------------------------
     def _sweep_stale_staging(self, min_age_sec: float = 3600.0) -> None:
-        """Reclaim staging dirs a crashed combined-window run left behind.
-        Age-guarded so a concurrent group runner's IN-FLIGHT staging is
-        never touched (a window runs minutes, not hours); files already
-        moved into table dirs but never committed are plain orphans —
-        fsck reports them and expire reclaims them."""
-        import shutil
-        import time
-
-        root = os.path.join(self.base_dir, ".etl_staging")
-        if not os.path.isdir(root):
-            return
-        now = time.time()
-        for d in os.listdir(root):
-            full = os.path.join(root, d)
-            try:
-                if now - os.path.getmtime(full) > min_age_sec:
-                    shutil.rmtree(full, ignore_errors=True)
-            except OSError:
-                pass
+        sweep_stale_staging(self.base_dir, min_age_sec)
 
     def _combined_eligible(self, tables: dict, todo: list[str], routed) -> bool:
         """Combined fan-out needs mor mode (cow needs a per-table
@@ -387,6 +389,29 @@ def group_snapshot(
             )
         out[n] = t
     return out
+
+
+def sweep_stale_staging(base_dir: str, min_age_sec: float = 3600.0) -> None:
+    """Reclaim staging dirs a crashed combined-window run left behind
+    (batch replay AND streaming epochs stage under the same root).
+    Age-guarded so a concurrent group runner's IN-FLIGHT staging is
+    never touched (a window runs minutes, not hours); files already
+    moved into table dirs but never committed are plain orphans —
+    fsck reports them and expire reclaims them."""
+    import shutil
+    import time
+
+    root = os.path.join(base_dir, ".etl_staging")
+    if not os.path.isdir(root):
+        return
+    now = time.time()
+    for d in os.listdir(root):
+        full = os.path.join(root, d)
+        try:
+            if now - os.path.getmtime(full) > min_age_sec:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
 
 
 def _max_stream_epoch(t: LakeTable) -> int | None:
@@ -502,8 +527,6 @@ def combined_window(
     import urllib.parse
     import uuid
 
-    import pyarrow.parquet as pq
-
     from pyspark.sql import Observation
 
     from pasar_spark.cdc.lww import lww_reduce
@@ -512,7 +535,7 @@ def combined_window(
         normalize_text,
         normalize_text_native,
     )
-    from pasar_spark.lake.table import _footer_key_stats
+    from pasar_spark.lake.table import bucket_dir_entries, configure_parquet_writer
 
     t0 = tables[todo[0]]
     key = t0.manifest["key"]
@@ -523,6 +546,24 @@ def combined_window(
     ]
 
     src = promote_extra(routed.where(F.col("_route").isin(list(todo))), t0)
+    lsn_col = order[-1]  # the monotone component of the resolve order
+    obs_lsn = None
+    if chunk_hi is None:
+        # streaming epoch: per-route max CONSUMED lsn must come from the
+        # PRE-reduce input (merge_batch observes its raw input the same
+        # way) — a reduce can drop the max-lsn event when an older-lsn
+        # event wins on (ts, lsn), and under-advancing last_lsn would
+        # make a later batch resume re-fetch consumed events.
+        obs_lsn = Observation(f"router-lsn-{batch_id}-{uuid.uuid4().hex[:8]}")
+        src = src.observe(
+            obs_lsn,
+            *[
+                F.max(
+                    F.when(F.col("_route") == F.lit(name), F.col(lsn_col))
+                ).alias(f"l{i}")
+                for i, name in enumerate(todo)
+            ],
+        )
     reduced = lww_reduce(
         src, key=["_route"] + key, order=order, payload=payload + ["op"]
     )
@@ -549,49 +590,34 @@ def combined_window(
         F.col(f.name).cast(f.type).alias(f"f{f.id}")
         for f in t0.schema.fields
     ]
-    # per-route applied/deleted (and, for streaming, max lsn) ride the
-    # WRITE job as observe() aggregates — no persist, no second pass
-    # over the reduce
+    # per-route applied/deleted ride the WRITE job as observe()
+    # aggregates — no persist, no second pass over the reduce
     obs = Observation(f"router-{batch_id}-{uuid.uuid4().hex[:8]}")
     hit = F.col("_route")
     tomb = F.col("_tombstone").cast("long")
-    lsn_col = order[-1]  # the monotone component of the resolve order
     obs_aggs = []
     for i, name in enumerate(todo):
         m = (hit == F.lit(name)).cast("long")
         obs_aggs.append(F.sum(m * (1 - tomb)).alias(f"a{i}"))
         obs_aggs.append(F.sum(m * tomb).alias(f"d{i}"))
-        if chunk_hi is None:
-            obs_aggs.append(
-                F.max(F.when(hit == F.lit(name), F.col(lsn_col))).alias(f"l{i}")
-            )
     out = (
         final.observe(obs, *obs_aggs)
         .select(F.col("_route"), *phys, F.col("_bucket"))
         .repartition(t0.manifest["n_buckets"], F.col("_bucket"))
     )
-    codec = os.environ.get("PASAR_PARQUET_CODEC", "snappy")
-    writer = out.write.mode("errorifexists").option("compression", codec)
-    bucket_by = t0.manifest.get("bucket_by")
-    if (
-        os.environ.get("PASAR_PARQUET_BLOOM", "1") != "0"
-        and bucket_by in set(schema_cols)
-    ):
-        key_phys = f"f{t0.schema.field_by_name(bucket_by).id}"
-        writer = (
-            writer.option(f"parquet.bloom.filter.enabled#{key_phys}", "true")
-            .option("parquet.bloom.filter.adaptive.enabled", "true")
-            .option("parquet.bloom.filter.max.bytes", str(256 * 1024))
-        )
+    writer = configure_parquet_writer(
+        out.write.mode("errorifexists"), t0.schema, t0.manifest
+    )
     writer.partitionBy("_route", "_bucket").parquet(staging)
     m = dict(obs.get)
     applied_deleted = {
         name: (int(m.get(f"a{i}") or 0), int(m.get(f"d{i}") or 0))
         for i, name in enumerate(todo)
     }
-    route_lsn = {
-        name: m.get(f"l{i}") for i, name in enumerate(todo)
-    } if chunk_hi is None else {}
+    route_lsn = {}
+    if obs_lsn is not None:
+        ml = dict(obs_lsn.get)
+        route_lsn = {name: ml.get(f"l{i}") for i, name in enumerate(todo)}
 
     route_dirs = {
         urllib.parse.unquote(d[len("_route=") :]): os.path.join(staging, d)
@@ -614,24 +640,14 @@ def combined_window(
                 dest_rel = os.path.join("data", commit_id, bd)
                 dest = os.path.join(t.path, dest_rel)
                 os.makedirs(dest, exist_ok=True)
-                entries = []
                 for f in sorted(os.listdir(os.path.join(rdir, bd))):
-                    if not f.endswith(".parquet"):
-                        continue
-                    full_dst = os.path.join(dest, f)
-                    # same-filesystem rename: staging lives under
-                    # base_dir next to the tables
-                    os.replace(os.path.join(rdir, bd, f), full_dst)
-                    md = pq.ParquetFile(full_dst).metadata
-                    entry = {
-                        "path": os.path.join(dest_rel, f),
-                        "schema_id": t.schema.schema_id,
-                        "rows": md.num_rows,
-                    }
-                    stats = _footer_key_stats(md, stat_cols)
-                    if stats:
-                        entry["stats"] = stats
-                    entries.append(entry)
+                    if f.endswith(".parquet"):
+                        # same-filesystem rename: staging lives under
+                        # base_dir next to the tables
+                        os.replace(os.path.join(rdir, bd, f), os.path.join(dest, f))
+                entries = bucket_dir_entries(
+                    dest, dest_rel, t.schema.schema_id, stat_cols
+                )
                 if entries:
                     new_files[b] = entries
         applied, deleted = applied_deleted.get(name, (0, 0))

@@ -136,23 +136,43 @@ def export_snapshot(
     """
     os.makedirs(dest, exist_ok=True)
     ver = table.version
+    want_cols = columns or [
+        c for c in table.schema.names() if not c.startswith("_")
+    ]
     prior_ver = current_export_version(dest)
     if prior_ver is not None and prior_ver == ver:
+        # same-version noop ONLY when the published surface already IS
+        # what the caller asked for. A forced full rewrite or a changed
+        # column selection (e.g. dropping a sensitive column from the
+        # public surface) must NOT silently return success — and it
+        # can't republish in place either: v<ver> is the LIVE dir
+        # readers hold open, so rewriting it would break the snapshot
+        # isolation the versioned layout exists for. Refuse with the
+        # remedy instead.
         m = load_export_manifest(dest, ver)
-        return {
-            "source_version": ver,
-            "path": os.path.join(dest, f"v{ver}"),
-            "rewritten_buckets": [],
-            "reused_buckets": sorted(m["buckets"]),
-            "noop": True,
-        }
+        if incremental and m.get("columns") == want_cols:
+            return {
+                "source_version": ver,
+                "path": os.path.join(dest, f"v{ver}"),
+                "rewritten_buckets": [],
+                "reused_buckets": sorted(m["buckets"]),
+                "noop": True,
+            }
+        raise ValueError(
+            f"export at {dest!r} already publishes source version {ver} "
+            f"with columns {m.get('columns')}; republishing the SAME "
+            "version with a different column set or --full would rewrite "
+            "the live v-dir under readers. Commit to a new table version "
+            "first (any no-op metadata commit works), or publish to a "
+            "fresh dest."
+        )
     if prior_ver is not None and prior_ver > ver:
         raise ValueError(
             f"export at {dest!r} is at source version {prior_ver}, newer "
             f"than this table handle ({ver}); exports only move forward"
         )
 
-    cols = columns or [c for c in table.schema.names() if not c.startswith("_")]
+    cols = want_cols
     manifest_buckets = table.manifest["buckets"]
 
     prior = None

@@ -78,7 +78,13 @@ def fsck(path: str, deep: bool = False) -> dict:
     manifests: dict[int, dict] = {}
     for f in sorted(os.listdir(meta)):
         if f.startswith("v") and f.endswith(".json"):
-            v = int(f[1:-5])
+            try:
+                v = int(f[1:-5])
+            except ValueError:
+                # debris from a partial rename/restore — report, don't
+                # crash on the very corruption this tool exists to find
+                _err(report, f"unparseable manifest filename {f!r} in metadata/")
+                continue
             try:
                 with open(os.path.join(meta, f)) as fh:
                     manifests[v] = json.load(fh)
@@ -134,8 +140,12 @@ def fsck(path: str, deep: bool = False) -> dict:
         if unknown:
             _err(report, f"v{v}: unresolved lists unknown buckets {sorted(unknown)}")
         for b, entries in buckets.items():
-            if not (isinstance(nb, int) and 0 <= int(b) < nb):
-                _err(report, f"v{v}: bucket id {b} outside [0, {nb})")
+            try:
+                b_ok = isinstance(nb, int) and 0 <= int(b) < nb
+            except ValueError:
+                b_ok = False
+            if not b_ok:
+                _err(report, f"v{v}: bucket id {b!r} outside [0, {nb})")
             for e in entries:
                 if str(e.get("schema_id")) not in schemas:
                     _err(report, f"v{v}: {e.get('path')} written under unknown schema {e.get('schema_id')}")
@@ -190,10 +200,11 @@ def fsck(path: str, deep: bool = False) -> dict:
                 except OSError:
                     pass
     if report["checked"]["orphan_files"]:
+        age = f"youngest {youngest:.0f}s old" if youngest is not None else "age unknown"
         _warn(
             report,
             f"{report['checked']['orphan_files']} orphan data files "
-            f"({orphan_bytes} bytes, youngest {youngest:.0f}s old) — an "
+            f"({orphan_bytes} bytes, {age}) — an "
             "in-flight write, or leakage expire_snapshots will reclaim",
         )
 

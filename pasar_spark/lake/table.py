@@ -44,6 +44,53 @@ from pasar_spark.lake.schema import TableSchema
 CURRENT = "CURRENT"
 
 
+def configure_parquet_writer(writer, schema, manifest: dict):
+    """Codec + bloom-filter options shared by every physical write path
+    (LakeTable.write_files and the router's combined fan-out) — ONE
+    definition, so routed tables' files can never drift from
+    single-table ones. See write_files for the rationale of each knob."""
+    codec = os.environ.get("PASAR_PARQUET_CODEC", "snappy")
+    writer = writer.option("compression", codec)
+    bucket_by = manifest.get("bucket_by")
+    if (
+        os.environ.get("PASAR_PARQUET_BLOOM", "1") != "0"
+        and bucket_by in set(schema.names())
+    ):
+        key_phys = f"f{schema.field_by_name(bucket_by).id}"
+        writer = (
+            writer.option(f"parquet.bloom.filter.enabled#{key_phys}", "true")
+            .option("parquet.bloom.filter.adaptive.enabled", "true")
+            .option("parquet.bloom.filter.max.bytes", str(256 * 1024))
+        )
+    return writer
+
+
+def bucket_dir_entries(
+    src_dir: str, dest_rel: str, schema_id: int, stat_cols: set
+) -> list[dict]:
+    """Manifest entries (path / schema_id / footer row count / key
+    min-max stats) for every parquet file in a written bucket dir —
+    footer reads only; shared by write_files and the combined fan-out's
+    file attach."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    for f in sorted(os.listdir(src_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(src_dir, f)).metadata
+        entry = {
+            "path": os.path.join(dest_rel, f),
+            "schema_id": schema_id,
+            "rows": md.num_rows,
+        }
+        stats = _footer_key_stats(md, stat_cols)
+        if stats:
+            entry["stats"] = stats
+        entries.append(entry)
+    return entries
+
+
 def _footer_key_stats(md, cols: set) -> dict:
     """Aggregate parquet row-group min/max into per-FILE stats for the
     given physical column names, JSON-safe values only.
@@ -460,8 +507,6 @@ class LakeTable:
         # than zstd (measured on the transcript payload) and the replay
         # metric is events/sec; flip PASAR_PARQUET_CODEC=zstd when storage
         # footprint matters more than ingest rate.
-        codec = os.environ.get("PASAR_PARQUET_CODEC", "snappy")
-        writer = out.write.mode("errorifexists").option("compression", codec)
         # Parquet bloom filter on the bucketing key — the pruning tier the
         # manifest min/max stats CAN'T provide: on uniformly random keys
         # every file's min/max spans the key space (stats inert), but a
@@ -473,24 +518,16 @@ class LakeTable:
         # read_key point lookups skip unsorted DELTA row groups that
         # min/max and sort-order can't rule out (sorted bases already
         # have tight stats). PASAR_PARQUET_BLOOM=0 disables.
-        bucket_by = self.manifest.get("bucket_by")
-        if (
-            os.environ.get("PASAR_PARQUET_BLOOM", "1") != "0"
-            and bucket_by in set(cur.names())
-        ):
-            key_phys = f"f{cur.field_by_name(bucket_by).id}"
-            writer = (
-                writer.option(f"parquet.bloom.filter.enabled#{key_phys}", "true")
-                .option("parquet.bloom.filter.adaptive.enabled", "true")
-                .option("parquet.bloom.filter.max.bytes", str(256 * 1024))
-            )
+        writer = configure_parquet_writer(
+            out.write.mode("errorifexists"), cur, self.manifest
+        )
         writer.partitionBy("_bucket").parquet(out_dir)
-        import pyarrow.parquet as pq
 
         # key-column physical names: min/max per FILE ride the manifest so
         # point lookups skip whole files before any scan task is planned
         # (Iceberg column-stats pruning; see read_key). Field ids make the
-        # stats rename-safe.
+        # stats rename-safe. Row counts come from the parquet footers:
+        # free per-partition lineage (north rule) without a counting job.
         stat_cols = {
             f"f{cur.field_by_name(k).id}"
             for k in self.manifest.get("key", [])
@@ -501,24 +538,12 @@ class LakeTable:
             if not d.startswith("_bucket="):
                 continue
             b = str(int(d.split("=")[1]))
-            entries = []
-            for f in os.listdir(os.path.join(out_dir, d)):
-                if not f.endswith(".parquet"):
-                    continue
-                full = os.path.join(out_dir, d, f)
-                # row count from the parquet footer: free per-partition
-                # lineage (north rule) without a counting job
-                md = pq.ParquetFile(full).metadata
-                entry = {
-                    "path": os.path.join(rel, d, f),
-                    "schema_id": cur.schema_id,
-                    "rows": md.num_rows,
-                }
-                stats = _footer_key_stats(md, stat_cols)
-                if stats:
-                    entry["stats"] = stats
-                entries.append(entry)
-            new_files[b] = entries
+            new_files[b] = bucket_dir_entries(
+                os.path.join(out_dir, d),
+                os.path.join(rel, d),
+                cur.schema_id,
+                stat_cols,
+            )
         return new_files
 
     def commit_merge(

@@ -316,6 +316,12 @@ class MultiTableStreamingIngest:
         self._paths = {n: os.path.join(base_dir, n) for n in self.names}
 
     def bootstrap(self) -> dict[str, LakeTable]:
+        from pasar_spark.cdc.router import sweep_stale_staging
+
+        # a crashed combined epoch leaves its staging dir behind; without
+        # this a long-lived streaming deployment that never runs a batch
+        # replay over the same base_dir would leak staged epochs forever
+        sweep_stale_staging(self.base_dir)
         return {
             n: bootstrap_table(self.spark, p, self.n_buckets)
             for n, p in self._paths.items()
@@ -355,7 +361,6 @@ class MultiTableStreamingIngest:
                     "unconfigured targets — add them to `tables` or pass "
                     "on_unrouted='ignore'"
                 )
-            self.unrouted_events += n_unrouted
             tables = {}
             todo = []
             for name in self.names:
@@ -366,6 +371,13 @@ class MultiTableStreamingIngest:
                     continue  # redelivered epoch, this target already has it
                 tables[name] = table
                 todo.append(name)
+            if todo:
+                # counted only when the epoch actually applies, so a
+                # redelivered fully-applied epoch doesn't double the drop
+                # count; a partially-applied redelivery still recounts —
+                # the counter is at-least-once under crash-redelivery,
+                # like every side-band metric of an at-least-once stream
+                self.unrouted_events += n_unrouted
             from pasar_spark.cdc.router import combined_eligible, combined_window
 
             if todo and self.merge_mode == "mor" and combined_eligible(tables, todo):
