@@ -600,13 +600,51 @@ def minhash_lsh_pairs(
     # consumed, instead of waiting on the GC-driven cleaner.
     from pyspark import StorageLevel
 
-    sh = docs.select(
+    from pyspark.sql import Window
+
+    # Canonical SET form: distinct + sorted. MinHash signatures, band
+    # buckets and exact Jaccard are all functions of the shingle SET, so
+    # docs with identical sets are indistinguishable to every stage of
+    # this pipeline. A dedup corpus is by construction full of identical
+    # sets (that is what it exists to find), so the whole LSH + verify
+    # pipeline runs on DISTINCT-set representatives — half the signature
+    # work and a quarter of the candidate pairs on a corpus of pure
+    # copies — and doc ids are re-attached at output cost (guide §8:
+    # decide with small rows, expand once).
+    shs = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        F.array_sort(
+            F.array_distinct(shingles(F.col(text_col), shingle_n))
+        ).alias("_sh"),
+    )
+    # ONE shuffle of the heavy arrays groups identical sets; the group
+    # representative is the smallest doc id (no collected id lists — a
+    # viral 10M-copy doc must not become one giant array row). The
+    # partition key leads with a 64-bit hash of the array so the window
+    # sort resolves comparisons on a long; the array stays in the key,
+    # so grouping is exact even under hash collisions.
+    # The explicit repartition satisfies the window's required
+    # distribution with a USER-SPECIFIED partition count: left to
+    # ENSURE_REQUIREMENTS, AQE coalesces the (byte-cheap, compute-heavy)
+    # exchange to 1-2 partitions and the window sort, the cached
+    # partitions, and every downstream cache read serialize onto one
+    # core (measured: 3 consecutive single-task 1-5 s stages per query).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    m = (
+        shs.withColumn("_h", F.xxhash64("_sh"))
+        .repartition(par, "_h", "_sh")
+        .select(
+            "doc_id",
+            "_sh",
+            F.min("doc_id").over(Window.partitionBy("_h", "_sh")).alias("_rep"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if cache_handle is not None:
-        cache_handle.append(sh)
-    sig = sh.select(
+        cache_handle.append(m)
+    mapping = m.select("doc_id", "_rep")
+    reps = m.where(F.col("doc_id") == F.col("_rep")).select("doc_id", "_sh")
+    sig = reps.select(
         "doc_id", minhash_from_shingles(F.col("_sh"), n_hashes).alias("_sig")
     )
     # Band explode carries ONLY (doc_id, band, bucket) — never the shingle
@@ -630,7 +668,18 @@ def minhash_lsh_pairs(
                 for i in range(bands)
             ])
         ).alias("_b"),
-    ).select("doc_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"))
+    ).select(
+        "doc_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialize EAGERLY, which fills the set-group cache too (it is
+    # the child): four independent subtrees otherwise race to compute
+    # the still-empty caches within one action — measured, the shingle +
+    # 32-lane signature stage ran FOUR times per query (both banded join
+    # sides and both verification sides). One up-front job computes the
+    # shingles and signatures exactly once.
+    banded.count()
+    if cache_handle is not None:
+        cache_handle.append(banded)
 
     left = banded.select("band", "bucket", F.col("doc_id").alias("id_a"))
     right = banded.select("band", "bucket", F.col("doc_id").alias("id_b"))
@@ -639,14 +688,38 @@ def minhash_lsh_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sha = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    shb = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    sha = reps.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    shb = reps.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb"))
     inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
     union = F.size(F.array_union("_sha", "_shb")).cast("double")
-    return (
+    rep_pairs = (
         cand.join(sha, "id_a")
         .join(shb, "id_b")
         .withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # identical-set pairs: jaccard of two identical (never-empty) shingle
+    # sets is exactly 1.0, and identical signatures collide in every
+    # band — clique expansion within each set group, no array work
+    same = (
+        mapping.join(mapping.select(F.col("doc_id").alias("id_b"), "_rep"), "_rep")
+        .where(F.col("doc_id") < F.col("id_b"))
+        .select(
+            F.col("doc_id").alias("id_a"), "id_b", F.lit(1.0).alias("jaccard")
+        )
+    )
+    # re-attach doc ids to cross-set rep pairs: every doc of set id_a
+    # pairs with every doc of set id_b (output-sized expansion)
+    ma = mapping.select(F.col("_rep").alias("id_a"), F.col("doc_id").alias("_ida"))
+    mb = mapping.select(F.col("_rep").alias("id_b"), F.col("doc_id").alias("_idb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return same.unionByName(cross)
