@@ -670,6 +670,13 @@ def minhash_lsh_pairs(
         ).alias("_b"),
     ).select(
         "doc_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
+    ).repartition(
+        # persist ALREADY HASH-PARTITIONED on the join key: both sides
+        # of the candidate self-join require hashpartitioning(band,
+        # bucket) and read the cached partitioning directly instead of
+        # re-shuffling the banded table twice (AQE exchange reuse does
+        # not collapse the two identical exchanges)
+        docs.sparkSession.sparkContext.defaultParallelism, "band", "bucket"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # Materialize EAGERLY, which fills the set-group cache too (it is
     # the child): four independent subtrees otherwise race to compute

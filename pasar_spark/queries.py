@@ -161,8 +161,13 @@ _FEED_SQL = """
 )
 def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: replay the feed through the engine's LWW reduce; final
-    live state per (conv_id, turn_idx) — SURVEY.md W1/W2 + north rule."""
-    feed = _as_change_feed(load(spark, sf_dir, "events"))
+    live state per (conv_id, turn_idx) — SURVEY.md W1/W2 + north rule.
+
+    spread() first: the local single-row-group file scans as ONE task,
+    and the LWW map-side partial aggregation (the expensive stage) would
+    otherwise run serially before the first exchange (no-op on a real
+    many-split scan)."""
+    feed = _as_change_feed(spread(load(spark, sf_dir, "events")))
     won = lww_reduce(feed, key=["conv_id", "turn_idx"], order=["ts", "lsn"])
     return won.where(F.col("op") != "D").select("conv_id", "turn_idx", "text", "ts", "lsn")
 

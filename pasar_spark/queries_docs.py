@@ -299,9 +299,22 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides of the pairing self-join read them — without the persist the
     # corpus scan + winnow extraction runs 3x (same cut-point reasoning
     # as minhash_lsh_pairs' shingle stage, similarity.py)
-    fps = c.select(
-        "doc_id", F.explode(T.winnow_fingerprints(F.col("text"), 5, 4)).alias("fp")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # The cache is persisted ALREADY HASH-PARTITIONED on fp: every
+    # consumer (the boilerplate counts groupBy, and both sides of the
+    # pairing self-join) requires hashpartitioning(fp), so they all read
+    # the cached partitioning directly instead of each re-shuffling the
+    # full fingerprint table (measured: 4 near-identical exchanges of
+    # the same 2M cached rows per query, which AQE's exchange reuse did
+    # not collapse). Eager count: concurrent consumers otherwise race to
+    # compute the still-empty cache, re-running the winnow extraction 3x.
+    fps = (
+        c.select(
+            "doc_id", F.explode(T.winnow_fingerprints(F.col("text"), 5, 4)).alias("fp")
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "fp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    fps.count()
     counts = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("_n"))
     # broadcast the BOILERPLATE set (small by definition) and anti-join;
     # broadcasting the rare side would ship nearly the whole fp space
