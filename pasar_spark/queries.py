@@ -167,7 +167,15 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the LWW map-side partial aggregation (the expensive stage) would
     otherwise run serially before the first exchange (no-op on a real
     many-split scan)."""
-    feed = _as_change_feed(spread(load(spark, sf_dir, "events")))
+    feed = _as_change_feed(
+        # project to the feed's inputs BEFORE the spread exchange —
+        # the unused events columns would otherwise ride the shuffle
+        spread(
+            load(spark, sf_dir, "events").select(
+                "user_id", "event_id", "event_type", "props", "ts"
+            )
+        )
+    )
     won = lww_reduce(feed, key=["conv_id", "turn_idx"], order=["ts", "lsn"])
     return won.where(F.col("op") != "D").select("conv_id", "turn_idx", "text", "ts", "lsn")
 
@@ -222,7 +230,15 @@ def cdc_debezium_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # JSON encode+parse is the expensive stage; fan the single-file local
     # scan out first (no-op on a real cluster / many-split scan)
-    feed = _as_change_feed(spread(load(spark, sf_dir, "events")))
+    feed = _as_change_feed(
+        # project to the feed's inputs BEFORE the spread exchange —
+        # the unused events columns would otherwise ride the shuffle
+        spread(
+            load(spark, sf_dir, "events").select(
+                "user_id", "event_id", "event_type", "props", "ts"
+            )
+        )
+    )
     null_s = F.lit(None).cast("string")
     wire = to_debezium(
         feed.select(
@@ -376,6 +392,9 @@ def cdc_duration_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
 
+    # broadcast only the two columns the join needs — the full customer
+    # row (name/address/comment) would ride the broadcast build
+    c = c.select("c_custkey", "c_nationkey")
     expo = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select(
@@ -1108,9 +1127,16 @@ def q3_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # Apply the selective dimension filter BEFORE the big fact join:
+    # broadcast-joining the BUILDING customers against orders first
+    # shrinks the orders side of the lineitem join (and the join's
+    # output, and the aggregate's input) ~5x; the previous order joined
+    # all 6M lineitems to all orders and discarded 4/5 of the result.
+    b_orders = orders.join(
+        F.broadcast(cust.select("c_custkey")), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_orderdate")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(b_orders, li.l_orderkey == b_orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

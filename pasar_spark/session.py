@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash join when its size checks
+        # pass (guide: often faster than sort-merge when one side is
+        # moderately small per partition — skips both sorts). Not a
+        # local-only knob: the same preference is the guide's baseline
+        # for batch ETL clusters; SMJ remains the fallback whenever the
+        # per-partition build side would not fit.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
