@@ -1224,13 +1224,24 @@ def q_semi_customers_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup pick-first window — the reference's W1 primitive."""
+    """Dedup pick-first window — the reference's W1 primitive.
+
+    Implemented as a min(struct) aggregate, not a window: the pick-first
+    over ORDER BY (o_orderdate, o_orderkey) is exactly the lexicographic
+    minimum of that tuple per key (both columns non-null; o_orderkey is
+    unique so there are no ties), and the aggregate gets map-side
+    partial combine — the shuffle carries one 16-byte struct per
+    (custkey, map task) instead of every order row, and no sort runs.
+    Same formulation as the engine's LWW reduce (cdc/lww.py W1)."""
     o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
-        .select("o_custkey", "o_orderkey", "o_orderdate")
+        o.groupBy("o_custkey")
+        .agg(F.min(F.struct("o_orderdate", "o_orderkey")).alias("_w"))
+        .select(
+            "o_custkey",
+            F.col("_w.o_orderkey").alias("o_orderkey"),
+            F.col("_w.o_orderdate").alias("o_orderdate"),
+        )
     )
 
 
@@ -1340,15 +1351,28 @@ def q_expr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_unpivot_eav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide->EAV unpivot via stack() — the reference's pandas explode
-    loop (measurement.py:293-311, SURVEY.md §2.11) without Python."""
+    loop (measurement.py:293-311, SURVEY.md §2.11) without Python.
+
+    Aggregate BEFORE the unpivot (guide §2.3): the result is 4 (sum,
+    count) pairs, all computable in ONE scan pass with map-side partial
+    aggregation — so the per-column sums are folded first and stack()
+    unpivots the single aggregated row, instead of materializing 4x the
+    table as EAV rows and hash-aggregating them back down. count(*) per
+    stacked metric is the row count (stack emits one row per metric per
+    input row, null value or not), so one shared count substitutes."""
     li = load(spark, sf_dir, "lineitem")
-    eav = li.selectExpr(
-        "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
-        " 'discount', l_discount, 'tax', l_tax) AS (metric, value)"
+    agg = li.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.round(F.sum("l_quantity"), 2).alias("_quantity"),
+        F.round(F.sum("l_extendedprice"), 2).alias("_extendedprice"),
+        F.round(F.sum("l_discount"), 2).alias("_discount"),
+        F.round(F.sum("l_tax"), 2).alias("_tax"),
     )
-    return eav.groupBy("metric").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
-    )
+    return agg.selectExpr(
+        "stack(4, 'quantity', _quantity, 'extendedprice', _extendedprice,"
+        " 'discount', _discount, 'tax', _tax) AS (metric, total)",
+        "_n AS n",
+    ).select("metric", "n", "total")
 
 
 @register(
@@ -1523,16 +1547,29 @@ def q_or_join_unpivoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join, pushdown-friendly, exactly as SURVEY.md J5 prescribes."""
     c = load(spark, sf_dir, "customer")
     e = load(spark, sf_dir, "events")
-    keys = e.select(
-        "event_id",
-        F.explode(
-            F.array((F.col("user_id") % 100) + 1, (F.col("user_id") % 50) + 1)
-        ).alias("k"),
-    ).dropDuplicates(["event_id", "k"])
-    return (
-        c.join(keys, c.c_custkey == keys.k)
-        .groupBy("c_custkey")
+    # (event_id, k) dedup is per-row work, not a shuffle: event_id is the
+    # events PK (unique), so DISTINCT over the exploded pairs collapses
+    # only the two keys of one source row — array_distinct BEFORE the
+    # explode is the same set, computed in the scan stage (guide §2.4:
+    # a distinct on data that is already unique is an accidental
+    # exchange). The per-customer count is then aggregated BEFORE the
+    # join (guide §2.3): k has ~100 distinct values, so the join input
+    # shrinks from 2M exploded rows to one count row per key, and the
+    # counts broadcast-join against customers (both sides unique keys —
+    # the join itself is the final row set, no re-aggregation needed).
+    counts = (
+        e.select(
+            F.explode(
+                F.array_distinct(
+                    F.array((F.col("user_id") % 100) + 1, (F.col("user_id") % 50) + 1)
+                )
+            ).alias("k")
+        )
+        .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return c.join(F.broadcast(counts), c.c_custkey == counts.k).select(
+        "c_custkey", "n_events"
     )
 
 
