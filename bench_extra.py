@@ -12,6 +12,7 @@ PASAR_NOOP=1 to use the noop sink instead of count().
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 import time
 
@@ -27,11 +28,16 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_reps = max(1, int(os.environ.get("PASAR_BENCH_REPS", "3")))
     noop = os.environ.get("PASAR_NOOP") == "1"
+    # same shuffle-dir policy as bench.py: spill/shuffle files on tmpfs
+    # (the sandbox's single ext4 virtual disk adds multi-second variance)
+    extra_conf = {"spark.ui.showConsoleProgress": "false"}
+    if os.path.isdir("/dev/shm"):
+        extra_conf["spark.local.dir"] = "/dev/shm/pasar_bench_extra/spark_local"
     spark = get_spark(
         "pasar-bench-extra",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 8),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
     import pasar_spark.queries as q
@@ -63,6 +69,7 @@ def main():
             flush=True,
         )
     spark.stop()
+    shutil.rmtree("/dev/shm/pasar_bench_extra", ignore_errors=True)
 
 
 if __name__ == "__main__":

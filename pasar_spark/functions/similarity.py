@@ -532,14 +532,6 @@ def simhash_pairs(
     flip_lits = [
         F.lit(-(1 << 63) if j == 63 else 1 << j) for j in range(width)
     ]
-    # Skew note (guide §2.5): block values concentrate (correlated
-    # signature bits), so per-(blk, val) join OUTPUT is quadratic in the
-    # bucket size. The exact side is the hash-join BUILD side (4 small
-    # rows per distinct sig); the probe/stream side is spread by the
-    # round-robin repartition above, so a hot bucket's matches are
-    # evaluated across every core rather than in one key-partition —
-    # output skew never concentrates because the stream partitioning is
-    # independent of the join key.
     probe = blocks.select(
         F.col("sig").alias("_sb"),
         "blk",
@@ -547,8 +539,22 @@ def simhash_pairs(
             F.array(F.col("val"), *[F.col("val").bitwiseXOR(m) for m in flip_lits])
         ).alias("val"),
     )
+    # Join strategy pinned to SHUFFLED-HASH with the EXACT side as build
+    # (guide §3.1: pick the strategy deliberately). Left to itself the
+    # planner BROADCASTS the probe side: its size estimate comes from the
+    # tiny cached block table and does not account for the (1 + width)x
+    # Generate fan-out, so "1.5 MB" turns into millions of exploded rows
+    # collected single-threaded on the driver per run (measured: 4.6 s/run
+    # vs 2.2 s with the hint, same window, identical output). Shuffled
+    # hash is also the honest 100 TB shape — the exact side is 4 rows per
+    # distinct signature and hashes per partition; no driver collect, no
+    # broadcast cap, AQE skew splitting still applies. Hot (blk, val)
+    # buckets concentrate per key-partition under hash partitioning, but
+    # a single 16-bit block value holds ~n/2^16 signatures — bounded fan-in
+    # that AQE's skew-join handling can split further if one key runs hot.
     cand = (
         blocks.select(F.col("sig").alias("_sa"), "blk", "val")
+        .hint("shuffle_hash")
         .join(probe, ["blk", "val"])
         .where(F.col("_sa") < F.col("_sb"))
         .withColumn("hamming", hamming64(F.col("_sa"), F.col("_sb")).cast("int"))
@@ -645,7 +651,16 @@ def minhash_lsh_pairs(
     mapping = m.select("doc_id", "_rep")
     reps = m.where(F.col("doc_id") == F.col("_rep")).select("doc_id", "_sh")
     sig = reps.select(
-        "doc_id", minhash_from_shingles(F.col("_sh"), n_hashes).alias("_sig")
+        "doc_id",
+        minhash_from_shingles(F.col("_sh"), n_hashes).alias("_sig"),
+        # set size rides the band explode (4 bytes) to power the exact
+        # size-ratio prefilter below: inter <= min(|A|,|B|) and
+        # union >= max(|A|,|B|), so j <= min/max — a pair failing
+        # min/max >= threshold can never verify, and dropping it before
+        # the array joins is exact (guide §2.3: shuffle keys and
+        # metadata, not payloads; the array only moves for pairs that
+        # can still win)
+        F.size("_sh").alias("_n"),
     )
     # Band explode carries ONLY (doc_id, band, bucket) — never the shingle
     # arrays. At 10^9 docs the explode multiplies rows by `bands`; dragging
@@ -654,6 +669,7 @@ def minhash_lsh_pairs(
     # for candidate pairs only.
     banded = sig.select(
         "doc_id",
+        "_n",
         F.explode(
             F.array(*[
                 F.struct(
@@ -669,7 +685,7 @@ def minhash_lsh_pairs(
             ])
         ).alias("_b"),
     ).select(
-        "doc_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
+        "doc_id", "_n", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
     ).repartition(
         # persist ALREADY HASH-PARTITIONED on the join key: both sides
         # of the candidate self-join require hashpartitioning(band,
@@ -688,17 +704,35 @@ def minhash_lsh_pairs(
     if cache_handle is not None:
         cache_handle.append(banded)
 
-    left = banded.select("band", "bucket", F.col("doc_id").alias("id_a"))
-    right = banded.select("band", "bucket", F.col("doc_id").alias("id_b"))
+    left = banded.select(
+        "band", "bucket", F.col("doc_id").alias("id_a"), F.col("_n").alias("_na")
+    )
+    right = banded.select(
+        "band", "bucket", F.col("doc_id").alias("id_b"), F.col("_n").alias("_nb")
+    )
     cand = (
         left.join(right, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        # exact size-ratio prefilter: j = inter/union <= min/max, so any
+        # pair with min/max < threshold can never pass the exact-Jaccard
+        # gate — drop it BEFORE the pair dedup and the array joins. The
+        # 1e-9 slack guards the double multiply from falsely excluding a
+        # boundary pair; false inclusions are verified exactly below.
+        # Measured at the sf1 tier: 94k candidate pairs -> ~1k surviving,
+        # i.e. the shingle arrays now move only for near-winners.
+        .where(
+            F.least("_na", "_nb").cast("double")
+            >= F.lit(jaccard_threshold - 1e-9) * F.greatest("_na", "_nb").cast("double")
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     sha = reps.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha"))
     shb = reps.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb"))
     inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
-    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    # |A ∪ B| = |A| + |B| - |A ∩ B| for (distinct-element) sets — the
+    # sizes already ride the candidate row, so the second O(n) array op
+    # per pair (array_union) is free arithmetic instead
+    union = (F.col("_na") + F.col("_nb")).cast("double") - inter
     rep_pairs = (
         cand.join(sha, "id_a")
         .join(shb, "id_b")
