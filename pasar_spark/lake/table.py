@@ -841,22 +841,34 @@ class LakeTable:
 
         from pasar_spark.cdc.lww import lww_reduce  # lazy: avoids cycle
 
-        def _state(entries: list[dict]) -> DataFrame:
+        def _state(entries: list[dict], buckets_read, manifest: dict) -> DataFrame:
             df = to._read_entries(entries)
             if df is None:
                 df = self.spark.createDataFrame([], cur.logical_struct())
-            # reduce unconditionally: identity on resolved buckets, the
-            # MoR resolve on unresolved ones — one code path for both
+            # reduce: identity on resolved buckets, the MoR resolve on
+            # unresolved ones
             if is_patch:
                 from pasar_spark.cdc.patch import resolve_stored
 
                 return resolve_stored(df, key, pv_names).select(*cur.names())
+            # resolved-bucket fast path: a copy-on-write/compacted bucket
+            # already holds exactly one row per key, so the reduce is the
+            # identity — skipping it removes one full exchange + aggregate
+            # per side (driver-side decision from the owning manifest;
+            # the guard is per SIDE, so a mixed range still reduces)
+            unresolved_here = set(manifest.get("unresolved", []))
+            if buckets_read is not None and not (
+                set(buckets_read) & unresolved_here
+            ):
+                return df.select(*key, *order, *payload, "_tombstone")
             return lww_reduce(
                 df, key=key, order=order, payload=payload + ["_tombstone"]
             )
 
-        a = _state(a_entries)
-        b = _state(b_entries)
+        a_read = changed if changed is not None else list(a_buckets)
+        b_read = changed if changed is not None else list(b_buckets)
+        a = _state(a_entries, a_read, frm_manifest)
+        b = _state(b_entries, b_read, to.manifest)
 
         live = lambda side: F.col(f"{side}_live")  # noqa: E731
         # pre-image payload source: materialized winner values on patch

@@ -578,6 +578,14 @@ def _two_snapshot_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         t1 = ReplayRunner(
             spark, tbl_path, n_buckets=16, chunk_size=one_chunk
         ).replay(feed, max_events=cut + 1)
+        # compact the first-half snapshot (engine maintenance; state
+        # provably unchanged — compaction reuses the associative reduce):
+        # the pinned v1 is then a RESOLVED snapshot, so the time-travel
+        # read and the changes() A-side skip the identity MoR fold (one
+        # exchange + aggregate each, every query call)
+        from pasar_spark.cdc.merge import compact_buckets
+
+        t1, _ = compact_buckets(t1, min_files=1, policy="full")
         v1 = t1.version
         ReplayRunner(
             spark, tbl_path, n_buckets=16, chunk_size=one_chunk
@@ -690,6 +698,14 @@ def cdc_partitioned_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ReplayRunner(
             spark, tbl_path, n_buckets=16, chunk_size=1 << 40
         ).replay_partitions(parts)
+        # post-ingest compaction (same rationale as _routed_lake): the
+        # read below then scans resolved buckets instead of LWW-folding
+        # the per-partition delta files on every call
+        from pasar_spark.cdc.merge import compact_buckets
+
+        compact_buckets(
+            LakeTable.load(spark, tbl_path), min_files=1, policy="full"
+        )
     return (
         LakeTable.load(spark, tbl_path)
         .read()
@@ -738,6 +754,21 @@ def _routed_lake(spark: SparkSession, sf_dir: str) -> str:
             spark, base, _MT_NAMES, route_by=_MT_ROUTE_SPARK,
             n_buckets=8, chunk_size=max(tip // 4 + 1, 1),
         ).replay(feed)
+        # Post-ingest maintenance, through the engine's own API (the
+        # production lifecycle: a table that stopped ingesting gets
+        # compacted): fold each routed table's 4-window MoR deltas so
+        # the live reads below scan 1 base file per bucket instead of
+        # LWW-folding ~4 delta files per bucket per query (guide §6:
+        # fewer, larger files; state is provably unchanged — compaction
+        # reuses the same associative reduce, property-tested).
+        from pasar_spark.cdc.merge import compact_buckets
+
+        for n in _MT_NAMES:
+            compact_buckets(
+                LakeTable.load(spark, os.path.join(base, n)),
+                min_files=1,
+                policy="full",
+            )
         with open(marker, "w") as fh:
             _json.dump({"tip": tip}, fh)
     return base
@@ -857,7 +888,18 @@ def cdc_patch_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     demonstration of why this rule needs care)."""
     from pasar_spark.cdc.lww import lww_reduce_partial
 
-    feed = _as_change_feed(load(spark, sf_dir, "events")).select(
+    # spread() like cdc_final_state: the single-row-group local scan is
+    # ONE task, so the three packed max(struct) partial aggregates ran
+    # serially before the first exchange (same-window A/B at the sf1
+    # tier: 1.44 -> 1.03 s; no-op on a many-split scan)
+    feed = _as_change_feed(
+        spread(
+            load(spark, sf_dir, "events").select(
+                "user_id", "event_id", "event_type", "props", "ts"
+            ),
+            "event_id",
+        )
+    ).select(
         "conv_id",
         "turn_idx",
         "op",
