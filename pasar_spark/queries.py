@@ -407,7 +407,17 @@ def cdc_duration_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_eras' ``end_col`` overlapping-interval branch, not just point
     events; the reference's theta-join islands algorithm becomes two
     windows + one groupBy (SURVEY.md §2.6)."""
-    o = load(spark, sf_dir, "orders")
+    # project to the three columns the query touches BEFORE the spread
+    # exchange, then fan the few-split local scan out: the broadcast
+    # joins + interval projection otherwise run on as many cores as the
+    # file has splits (6 at the sf1 tier; same-window A/B 1.97 -> 1.64 s;
+    # no-op on a many-split cluster scan)
+    o = spread(
+        load(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_orderdate"
+        ),
+        "o_orderkey",
+    )
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
