@@ -1580,9 +1580,17 @@ def q_clamp_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range clamping into a parent window (reference P6,
     int__visit_detail.sql:26-50) — the same CASE pattern the engine uses
     for late-event timestamp clamping."""
-    li = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
-    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    # project both sides to the join/clamp columns, and pin the join to
+    # SHUFFLED-HASH (guide §3.1): the planner's estimate puts the pruned
+    # orders side under the broadcast threshold, and the resulting
+    # 1.5M-row broadcast build (driver collect + hash relation per run)
+    # costs more than shuffling both sides (same-window A/B at the sf1
+    # tier: 2.17 -> 1.15 s). At cluster scale orders exceeds the
+    # threshold anyway and SHJ/SMJ is what the planner picks — the hint
+    # just makes the local plan match the scale plan.
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
     lo = F.col("o_orderdate")
     hi = F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
     clamped = (
