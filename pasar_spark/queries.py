@@ -15,6 +15,7 @@ Determinism rules applied throughout (both sides!):
 
 from __future__ import annotations
 
+import os as _os_mod
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -61,7 +62,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def spread(df: DataFrame, *keys: str) -> DataFrame:
+def spread(df: DataFrame, *keys: str, min_bytes: int = 0) -> DataFrame:
     """Rebalance rows across all cores before expression-heavy stages.
 
     Small local parquet files scan as 1-2 input splits, so compute-bound
@@ -90,6 +91,17 @@ def spread(df: DataFrame, *keys: str) -> DataFrame:
     serial sort is noise, and the minhash pipeline measured ~9% faster
     on round-robin input (same-session A/B) while events-feed queries
     measured 20-25% faster on hash.
+
+    ``min_bytes`` makes the fan-out SIZE-ADAPTIVE (guide §2: derive
+    partitioning from input size instead of tuning a constant to one
+    scale): below it the exchange costs more than the serial scan it
+    parallelizes — measured on the events feed, at the ~2 MB sf0.1 file
+    the spread is a net +0.2 s per query while at the ~12-25 MB sf1
+    files it is a net -0.3..-0.8 s. Byte-cheap relational feeds pass
+    ``min_bytes=SPREAD_MIN_BYTES``; compute-bound text/embedding
+    pipelines keep 0 (their per-row interpreted-HOF work dwarfs the
+    exchange at any size). PASAR_SPREAD_MIN_BYTES overrides for cluster
+    tuning (moot there: many-split scans skip the spread entirely).
     """
     sc = df.sparkSession.sparkContext
     if not sc.master.startswith("local"):
@@ -117,17 +129,30 @@ def spread(df: DataFrame, *keys: str) -> DataFrame:
         else 134217728
     )
     splits = 0
+    total_bytes = 0
     for uri in files:
         p = uri.removeprefix("file:")
         try:
-            splits += max(1, -(-_os.path.getsize(p) // max_bytes))
+            size = _os.path.getsize(p)
         except OSError:
+            size = 0
             splits += 1
+        else:
+            total_bytes += size
+            splits += max(1, -(-size // max_bytes))
         if splits >= target:
             return df
+    if min_bytes and total_bytes < min_bytes:
+        return df
     if keys:
         return df.repartition(target, *[F.col(k) for k in keys])
     return df.repartition(target)
+
+
+# Below this input size the spread exchange costs more than the serial
+# scan it parallelizes (measured both ways on the events feed — see the
+# spread() docstring); applied by the byte-cheap relational feed callers.
+SPREAD_MIN_BYTES = int(_os_mod.environ.get("PASAR_SPREAD_MIN_BYTES", 6 * 1024 * 1024))
 
 
 def queries() -> dict[str, QueryFn]:
@@ -193,6 +218,7 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id", "event_id", "event_type", "props", "ts"
             ),
             "event_id",
+            min_bytes=SPREAD_MIN_BYTES,
         )
     )
     won = lww_reduce(feed, key=["conv_id", "turn_idx"], order=["ts", "lsn"])
@@ -257,6 +283,7 @@ def cdc_debezium_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id", "event_id", "event_type", "props", "ts"
             ),
             "event_id",
+            min_bytes=SPREAD_MIN_BYTES,
         )
     )
     null_s = F.lit(None).cast("string")
@@ -417,6 +444,7 @@ def cdc_duration_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey", "o_orderkey", "o_orderdate"
         ),
         "o_orderkey",
+        min_bytes=SPREAD_MIN_BYTES,
     )
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
@@ -908,6 +936,7 @@ def cdc_patch_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id", "event_id", "event_type", "props", "ts"
             ),
             "event_id",
+            min_bytes=SPREAD_MIN_BYTES,
         )
     ).select(
         "conv_id",
