@@ -274,7 +274,11 @@ def cdc_debezium_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pasar_spark.cdc.debezium import from_debezium, to_debezium
 
     # JSON encode+parse is the expensive stage; fan the single-file local
-    # scan out first (no-op on a real cluster / many-split scan)
+    # scan out first (no-op on a real cluster / many-split scan).
+    # NO min_bytes gate here, unlike the plain feed aggregates: the
+    # downstream Jackson render+parse is compute-bound at any input
+    # size, so the exchange pays for itself even on the ~2 MB sf0.1
+    # file (measured 0.97 s spread vs 1.49 s gated, same box state).
     feed = _as_change_feed(
         # project to the feed's inputs BEFORE the spread exchange —
         # the unused events columns would otherwise ride the shuffle
@@ -283,7 +287,6 @@ def cdc_debezium_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id", "event_id", "event_type", "props", "ts"
             ),
             "event_id",
-            min_bytes=SPREAD_MIN_BYTES,
         )
     )
     null_s = F.lit(None).cast("string")
