@@ -119,7 +119,14 @@ class MultiTableReplayRunner:
         )
         if not self.table_opts:
             raise ValueError("tables must name at least one target")
-        bad = [n for n in self.table_opts if os.sep in n or not n.strip()]
+        # '.' / '..' would bootstrap a lake table AT or ABOVE base_dir
+        # (os.path.join(base_dir, '..') walks out of the intended root) —
+        # reject alongside separators and empties
+        bad = [
+            n
+            for n in self.table_opts
+            if os.sep in n or not n.strip() or n.strip() in (".", "..")
+        ]
         if bad:
             raise ValueError(f"table names must be plain dir names, got {bad}")
         self.route_by = route_by

@@ -133,8 +133,38 @@ def export_snapshot(
     underscores — patch-version structs, tombstone markers — are engine
     metadata, not consumer payload). ``incremental=False`` forces a full
     rewrite even when a previous export could be reused.
+
+    Concurrent publishes to one ``dest`` are serialized by an exclusive
+    flock on ``dest/.publish.lock`` (kernel-released on crash): without
+    it, two racing exporters could both pass the CURRENT check and the
+    laggard's crashed-attempt cleanup would delete the just-published
+    LIVE v-dir out from under readers. A held lock raises loudly rather
+    than queueing — the caller decides whether to retry.
     """
+    import fcntl
+
     os.makedirs(dest, exist_ok=True)
+    lock_fh = open(os.path.join(dest, ".publish.lock"), "a")
+    try:
+        try:
+            fcntl.flock(lock_fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            raise ValueError(
+                f"another exporter holds the publish lock for {dest!r} "
+                "(dest/.publish.lock); concurrent publishes to one dest "
+                "are serialized — retry after it completes"
+            ) from None
+        return _export_snapshot_locked(table, dest, incremental, columns)
+    finally:
+        lock_fh.close()  # closing the fd releases the flock
+
+
+def _export_snapshot_locked(
+    table: LakeTable,
+    dest: str,
+    incremental: bool,
+    columns: list[str] | None,
+) -> dict:
     ver = table.version
     want_cols = columns or [
         c for c in table.schema.names() if not c.startswith("_")
@@ -200,6 +230,15 @@ def export_snapshot(
     out_dir = os.path.join(dest, f"v{ver}")
     tmp_dir = os.path.join(dest, f".tmp-v{ver}-{os.getpid()}")
     shutil.rmtree(tmp_dir, ignore_errors=True)
+    # belt to the publish lock's braces: if CURRENT already names this
+    # version (a publisher outside the lock's reach, e.g. a filesystem
+    # without usable flock), v<ver> is LIVE — refuse instead of deleting
+    # it under readers
+    if current_export_version(dest) == ver:
+        raise ValueError(
+            f"{dest!r} CURRENT already names v{ver}; refusing to rewrite "
+            "a live export dir (was it published concurrently?)"
+        )
     shutil.rmtree(out_dir, ignore_errors=True)  # an earlier crashed attempt
     os.makedirs(out_dir)
 

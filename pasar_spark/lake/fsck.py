@@ -126,6 +126,11 @@ def fsck(path: str, deep: bool = False) -> dict:
 
     # --- per-manifest structural checks + referenced-file walk ------------
     referenced: set[str] = set()
+    # every (path, rows) pair referenced by ANY retained manifest — the
+    # deep footer cross-check walks this, not just the head snapshot, so
+    # a torn file referenced only by an older retained version (a
+    # time-travel read target) is still caught
+    deep_refs: set[tuple] = set()
     for v, m in sorted(manifests.items()):
         nb = m.get("n_buckets")
         schemas = m.get("schemas", {})
@@ -150,14 +155,9 @@ def fsck(path: str, deep: bool = False) -> dict:
                 if str(e.get("schema_id")) not in schemas:
                     _err(report, f"v{v}: {e.get('path')} written under unknown schema {e.get('schema_id')}")
                 referenced.add(e["path"])
+                deep_refs.add((e["path"], e.get("rows")))
 
     # --- files: existence, sizes, deep footer cross-check ------------------
-    head_refs = set()
-    if head in manifests:
-        for entries in manifests[head].get("buckets", {}).values():
-            head_refs.update(
-                (e["path"], e.get("rows"), e.get("schema_id")) for e in entries
-            )
     for rel in sorted(referenced):
         full = os.path.join(path, rel)
         try:
@@ -168,7 +168,7 @@ def fsck(path: str, deep: bool = False) -> dict:
     if deep:
         import pyarrow.parquet as pq
 
-        for rel, rows, _sid in sorted(head_refs):
+        for rel, rows in sorted(deep_refs, key=lambda t: (t[0], t[1] is None, t[1])):
             full = os.path.join(path, rel)
             if not os.path.exists(full):
                 continue  # already reported above

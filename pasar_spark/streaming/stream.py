@@ -313,6 +313,15 @@ class MultiTableStreamingIngest:
         self.on_unrouted = on_unrouted
         self.followers = list(followers) if followers else []
         self.unrouted_events = 0
+        # same guard as MultiTableReplayRunner: a separator or '.'/'..'
+        # component would place a "table" outside base_dir
+        bad = [
+            n
+            for n in self.names
+            if os.sep in n or not n.strip() or n.strip() in (".", "..")
+        ]
+        if bad:
+            raise ValueError(f"table names must be plain dir names, got {bad}")
         self._paths = {n: os.path.join(base_dir, n) for n in self.names}
 
     def bootstrap(self) -> dict[str, LakeTable]:
@@ -363,20 +372,26 @@ class MultiTableStreamingIngest:
                 )
             tables = {}
             todo = []
+            already_applied = False
             for name in self.names:
                 if counts.get(name, 0) == 0:
                     continue  # empty slice: checkpoint is the position authority
                 table = LakeTable.load(self.spark, self._paths[name])
                 if table.has_batch(batch_id):
+                    already_applied = True
                     continue  # redelivered epoch, this target already has it
                 tables[name] = table
                 todo.append(name)
-            if todo:
-                # counted only when the epoch actually applies, so a
-                # redelivered fully-applied epoch doesn't double the drop
-                # count; a partially-applied redelivery still recounts —
-                # the counter is at-least-once under crash-redelivery,
-                # like every side-band metric of an at-least-once stream
+            if n_unrouted and (todo or not already_applied):
+                # counted on first delivery: when work remains (todo), or
+                # when NO routed target has applied this epoch — which
+                # covers an epoch whose events are ALL unrouted (todo
+                # empty, nothing ever records the batch id), previously a
+                # silent drop. A redelivered fully-applied epoch (some
+                # target has the batch, nothing todo) doesn't double the
+                # count; partial redeliveries and all-unrouted epochs
+                # recount — at-least-once under crash-redelivery, same
+                # contract as the batch router's per-window counter.
                 self.unrouted_events += n_unrouted
             from pasar_spark.cdc.router import combined_eligible, combined_window
 
